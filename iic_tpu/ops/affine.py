@@ -1,0 +1,117 @@
+"""Differentiable affine warps (torch-0.4 ``affine_grid``/``grid_sample``
+semantics) built from pure XLA gathers.
+
+The reference warps the second segmentation head-map back into the first
+image's frame inside the loss (reference: code/utils/segmentation/
+transforms.py:131-143 — ``F.affine_grid`` + ``F.grid_sample(padding_mode=
+"zeros")``). PyTorch 0.4 had only align_corners=True behaviour: normalised
+coordinate -1 maps to the centre of the first pixel and +1 to the centre of
+the last pixel. Bilinear interpolation with zero contribution from
+out-of-bounds corners. All of that is reproduced here with static-shape
+gathers that XLA vectorises on the VPU; the op is fully differentiable in
+``data`` (the warp inside the seg loss must carry gradients).
+"""
+
+import jax.numpy as jnp
+
+
+def affine_grid(theta, size):
+    """Equivalent of ``torch.nn.functional.affine_grid(theta, size)`` with
+    align_corners=True (the torch-0.4 behaviour).
+
+    Args:
+      theta: (N, 2, 3) affine matrices mapping output coords -> input coords,
+        in normalised [-1, 1] space.
+      size: target size tuple (N, C, H, W).
+
+    Returns:
+      grid: (N, H, W, 2) sampling locations, last dim = (x, y) normalised.
+    """
+    n, _, h, w = size
+    # Base grid: x varies along W, y along H; -1..1 inclusive (align corners).
+    xs = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+    base_x, base_y = jnp.meshgrid(xs, ys)  # (H, W) each
+    # grid[n, h, w, r] = theta[n, r, 0]*x + theta[n, r, 1]*y + theta[n, r, 2].
+    # Pure broadcast-multiply-add on the VPU: a matmul here would go through
+    # the MXU at bf16 input precision and lose grid accuracy.
+    t = theta.astype(jnp.float32)
+    bx = base_x[None, :, :, None]  # (1, H, W, 1)
+    by = base_y[None, :, :, None]
+    grid = (t[:, None, None, :, 0] * bx
+            + t[:, None, None, :, 1] * by
+            + t[:, None, None, :, 2])
+    return grid  # (N, H, W, 2) with (x, y)
+
+
+def grid_sample(data, grid):
+    """Equivalent of ``F.grid_sample(data, grid, mode="bilinear",
+    padding_mode="zeros", align_corners=True)``.
+
+    Args:
+      data: (N, C, H, W).
+      grid: (N, H_out, W_out, 2) normalised (x, y) sampling locations.
+
+    Returns:
+      (N, C, H_out, W_out) warped data, same dtype as ``data`` promoted to
+      float32 for interpolation.
+    """
+    n, c, h, w = data.shape
+    x = grid[..., 0].astype(jnp.float32)  # (N, Ho, Wo)
+    y = grid[..., 1].astype(jnp.float32)
+
+    # Unnormalise: align_corners=True -> -1 maps to 0, +1 maps to (size-1).
+    ix = (x + 1.0) * (w - 1) / 2.0
+    iy = (y + 1.0) * (h - 1) / 2.0
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    ix1 = ix0 + 1.0
+    iy1 = iy0 + 1.0
+
+    # Bilinear weights.
+    wx1 = ix - ix0
+    wx0 = 1.0 - wx1
+    wy1 = iy - iy0
+    wy0 = 1.0 - wy1
+
+    def gather(iy_f, ix_f):
+        # Zero padding: out-of-bounds corners contribute 0.
+        valid = (
+            (ix_f >= 0) & (ix_f <= w - 1) & (iy_f >= 0) & (iy_f <= h - 1)
+        )
+        ixc = jnp.clip(ix_f, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy_f, 0, h - 1).astype(jnp.int32)
+        # data (N, C, H, W); indices (N, Ho, Wo) -> out (N, C, Ho, Wo)
+        flat = data.reshape(n, c, h * w).astype(jnp.float32)
+        lin = iyc * w + ixc  # (N, Ho, Wo)
+        out = jnp.take_along_axis(
+            flat, lin.reshape(n, 1, -1), axis=2
+        ).reshape(n, c, *lin.shape[1:])
+        return out * valid[:, None].astype(jnp.float32)
+
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix1)
+    v10 = gather(iy1, ix0)
+    v11 = gather(iy1, ix1)
+
+    out = (
+        v00 * (wy0 * wx0)[:, None]
+        + v01 * (wy0 * wx1)[:, None]
+        + v10 * (wy1 * wx0)[:, None]
+        + v11 * (wy1 * wx1)[:, None]
+    )
+    return out
+
+
+def perform_affine_tf(data, tf_matrices):
+    """Mirror of reference ``perform_affine_tf``
+    (code/utils/segmentation/transforms.py:131-143): warp a batch of
+    (N, K, H, W) maps by per-sample 2x3 affine matrices, preserving
+    gradients.
+    """
+    n_i, k, h, w = data.shape
+    n_i2, r, cdim = tf_matrices.shape
+    assert n_i == n_i2 and r == 2 and cdim == 3
+    grid = affine_grid(tf_matrices, data.shape)
+    return grid_sample(data, grid)

@@ -1,0 +1,114 @@
+"""Clustering IID mutual-information loss, TPU-native.
+
+Reproduces the numerics of the reference's clustering loss
+(reference: code/utils/cluster/IID_losses.py:6-47) but expressed the XLA way:
+the reference materialises a (bn, k, k) outer-product tensor and reduces it
+(`unsqueeze -> mul -> sum`); here the joint is a single k x k matmul
+``z.T @ z_tf`` that XLA maps straight onto the MXU, and the multi-sub-head
+Python loop of the reference's training scripts becomes ``jax.vmap``.
+
+Two distribution modes when running under a device mesh (see SURVEY.md §5.8):
+  - ``axis_name=None``: per-shard joint (numerically equivalent to the
+    reference's DataParallel behaviour when combined with a mean over shards).
+  - ``axis_name="data"`` inside shard_map/pjit: the *global* joint is formed by
+    psum-ing the k x k unnormalised joint across the mesh before the log terms
+    (a k x k all-reduce over ICI — essentially free) which gives the exact
+    global-batch MI estimator, something DataParallel never computed.
+"""
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Matches reference EPS = sys.float_info.epsilon
+# (code/utils/cluster/IID_losses.py:6).
+EPS = sys.float_info.epsilon
+
+
+def compute_joint(x_out, x_tf_out, axis_name=None):
+    """Joint distribution P (k x k) from paired softmax outputs.
+
+    Reference semantics (code/utils/cluster/IID_losses.py:36-47): sum of outer
+    products over the batch, symmetrised, then normalised to sum to 1.
+
+    Args:
+      x_out: (bn, k) softmax outputs for original images.
+      x_tf_out: (bn, k) softmax outputs for transformed copies.
+      axis_name: optional mesh axis to psum the unnormalised joint over,
+        giving the global-batch joint when batch is sharded.
+
+    Returns:
+      (k, k) joint probability matrix, float32.
+    """
+    bn, k = x_out.shape
+    assert x_tf_out.shape == (bn, k)
+
+    # f32 accumulation regardless of activation dtype (bf16 trunks).
+    p_i_j = jnp.dot(
+        x_out.T.astype(jnp.float32),
+        x_tf_out.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (k, k) — full-f32 MXU passes; the matmul is tiny, accuracy matters
+    if axis_name is not None:
+        p_i_j = jax.lax.psum(p_i_j, axis_name)
+    p_i_j = (p_i_j + p_i_j.T) / 2.0  # symmetrise
+    p_i_j = p_i_j / jnp.sum(p_i_j)  # normalise
+    return p_i_j
+
+
+def iid_loss_from_joint(p_i_j, lamb=1.0, eps=EPS):
+    """MI objective from a normalised joint. Returns (loss, loss_no_lamb).
+
+    Clamping order matches the reference exactly: marginals are computed from
+    the *unclamped* joint, then joint and marginals are clamped below eps
+    (code/utils/cluster/IID_losses.py:12-31).
+    """
+    k = p_i_j.shape[0]
+    p_i = jnp.sum(p_i_j, axis=1).reshape(k, 1)  # marginal over j
+    p_j = jnp.sum(p_i_j, axis=0).reshape(1, k)  # marginal over i
+
+    p_i_j = jnp.maximum(p_i_j, eps)
+    p_i = jnp.maximum(p_i, eps)
+    p_j = jnp.maximum(p_j, eps)
+
+    log_p = jnp.log(p_i_j)
+    log_pi = jnp.log(p_i)
+    log_pj = jnp.log(p_j)
+
+    loss = -jnp.sum(p_i_j * (log_p - lamb * log_pj - lamb * log_pi))
+    loss_no_lamb = -jnp.sum(p_i_j * (log_p - log_pj - log_pi))
+    return loss, loss_no_lamb
+
+
+def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None):
+    """IID clustering loss. Mirrors reference ``IID_loss``
+    (code/utils/cluster/IID_losses.py:6): returns ``(loss, loss_no_lamb)``.
+
+    ``x_out``/``x_tf_out`` are (bn, k) and must already have softmax applied.
+    """
+    p_i_j = compute_joint(x_out, x_tf_out, axis_name=axis_name)
+    return iid_loss_from_joint(p_i_j, lamb=lamb, eps=EPS)
+
+
+@partial(jax.jit, static_argnames=("lamb",))
+def iid_loss_multihead(x_outs, x_tf_outs, lamb=1.0):
+    """Vectorised per-sub-head IID loss.
+
+    Replaces the reference training scripts' Python loop over sub-heads
+    (code/scripts/cluster/cluster_sobel_twohead.py:325-336) with a vmap over a
+    leading sub-head axis.
+
+    Args:
+      x_outs, x_tf_outs: (num_sub_heads, bn, k).
+
+    Returns:
+      (mean_loss, mean_loss_no_lamb) averaged over sub-heads, plus the
+      per-sub-head losses (num_sub_heads,).
+    """
+    losses, losses_no_lamb = jax.vmap(
+        lambda a, b: IID_loss(a, b, lamb=lamb)
+    )(x_outs, x_tf_outs)
+    return losses.mean(), losses_no_lamb.mean(), losses

@@ -1,0 +1,167 @@
+"""Parity tests for the segmentation IID losses against a torch
+transcription of the reference math (code/utils/segmentation/IID_losses.py),
+plus internal consistency of the box-sum reformulation vs. the conv path."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iic_tpu.ops.iid_seg_loss import (
+    IID_segmentation_loss,
+    IID_segmentation_loss_uncollapsed,
+    displacement_joint_collapsed,
+    displacement_joint_dense,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+EPS = sys.float_info.epsilon
+
+
+def _rand_inputs(rng, n=3, k=4, h=16, w=16):
+    def softmax_maps():
+        logits = rng.standard_normal((n, k, h, w)).astype(np.float32)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    x1 = softmax_maps()
+    x2 = softmax_maps()
+    thetas = []
+    for _ in range(n):
+        a = np.radians(rng.uniform(-20, 20))
+        scale = rng.uniform(0.9, 1.1)
+        m = np.array([
+            [np.cos(a) * scale, -np.sin(a) * scale, 0.0],
+            [np.sin(a) * scale, np.cos(a) * scale, 0.0],
+        ], dtype=np.float32)
+        thetas.append(m)
+    affine2_to_1 = np.stack(thetas)
+    mask = (rng.uniform(0, 1, (n, h, w)) > 0.2).astype(np.float32)
+    return x1, x2, affine2_to_1, mask
+
+
+def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
+    """Torch transcription of the reference seg loss math (not imported)."""
+    x1 = torch.from_numpy(x1)
+    x2 = torch.from_numpy(x2)
+    aff = torch.from_numpy(aff)
+    mask = torch.from_numpy(mask)
+
+    grid = F.affine_grid(aff, x2.shape, align_corners=True)
+    x2_inv = F.grid_sample(x2, grid, padding_mode="zeros",
+                           align_corners=True)
+
+    bn, k, h, w = x1.shape
+    m = mask.view(bn, 1, h, w)
+    x1 = x1 * m
+    x2_inv = x2_inv * m
+
+    x1p = x1.permute(1, 0, 2, 3).contiguous()
+    x2p = x2_inv.permute(1, 0, 2, 3).contiguous()
+    p = F.conv2d(x1p, weight=x2p, padding=(half_t, half_t))
+
+    if collapsed:
+        p = p.sum(dim=2).sum(dim=2)
+        p = p / p.sum()
+        p = (p + p.t()) / 2.0
+        p_i = p.sum(dim=1).unsqueeze(1).clone()
+        p_j = p.sum(dim=0).unsqueeze(0).clone()
+        p = p.clone()
+        p[p < EPS] = EPS
+        p_i[p_i < EPS] = EPS
+        p_j[p_j < EPS] = EPS
+        loss = (-p * (torch.log(p) - lamb * torch.log(p_i)
+                      - lamb * torch.log(p_j))).sum()
+        return float(loss)
+    else:
+        t_side = 2 * half_t + 1
+        p = p.permute(2, 3, 0, 1)
+        p = p / p.sum(dim=3, keepdim=True).sum(dim=2, keepdim=True)
+        p = (p + p.permute(0, 1, 3, 2)) / 2.0
+        p_i = p.sum(dim=2, keepdim=True).repeat(1, 1, k, 1).clone()
+        p_j = p.sum(dim=3, keepdim=True).repeat(1, 1, 1, k).clone()
+        p = p.clone()
+        p[p < EPS] = EPS
+        p_i[p_i < EPS] = EPS
+        p_j[p_j < EPS] = EPS
+        loss = (-p * (torch.log(p) - lamb * torch.log(p_i)
+                      - lamb * torch.log(p_j))).sum() / (t_side * t_side)
+        return float(loss)
+
+
+@pytest.mark.parametrize("half_t", [0, 1, 3])
+def test_boxsum_equals_dense_sum(half_t):
+    rng = np.random.default_rng(0)
+    x1, x2, _, _ = _rand_inputs(rng)
+    pc = np.asarray(displacement_joint_collapsed(
+        jnp.asarray(x1), jnp.asarray(x2), half_t))
+    pd = np.asarray(displacement_joint_dense(
+        jnp.asarray(x1), jnp.asarray(x2), half_t)).sum(axis=(2, 3))
+    np.testing.assert_allclose(pc, pd, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("half_t,lamb", [(0, 1.0), (1, 1.0), (2, 1.5)])
+def test_collapsed_loss_matches_torch(half_t, lamb):
+    rng = np.random.default_rng(1)
+    x1, x2, aff, mask = _rand_inputs(rng)
+    ref = torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True)
+    loss, _ = IID_segmentation_loss(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+        jnp.asarray(mask), lamb=lamb, half_T_side_dense=half_t,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0)
+    np.testing.assert_allclose(float(loss), ref, rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("half_t,lamb", [(1, 1.0), (2, 1.2)])
+def test_uncollapsed_loss_matches_torch(half_t, lamb):
+    rng = np.random.default_rng(2)
+    x1, x2, aff, mask = _rand_inputs(rng)
+    ref = torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=False)
+    loss, _ = IID_segmentation_loss_uncollapsed(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+        jnp.asarray(mask), lamb=lamb, half_T_side_dense=half_t,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0)
+    np.testing.assert_allclose(float(loss), ref, rtol=2e-4, atol=2e-6)
+
+
+def test_sparse_translation_runs_and_is_finite():
+    rng = np.random.default_rng(3)
+    x1, x2, aff, mask = _rand_inputs(rng)
+    loss, nl = IID_segmentation_loss(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+        jnp.asarray(mask), lamb=1.0, half_T_side_dense=1,
+        half_T_side_sparse_min=1, half_T_side_sparse_max=2,
+        key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)) and np.isfinite(float(nl))
+
+
+def test_seg_loss_gradients_flow():
+    rng = np.random.default_rng(4)
+    x1, x2, aff, mask = _rand_inputs(rng, n=2, k=3, h=12, w=12)
+
+    def f(a, b):
+        loss, _ = IID_segmentation_loss(
+            a, b, jnp.asarray(aff), jnp.asarray(mask), lamb=1.0,
+            half_T_side_dense=1, half_T_side_sparse_min=0,
+            half_T_side_sparse_max=0)
+        return loss
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(jnp.asarray(x1), jnp.asarray(x2))
+    for g in (g1, g2):
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_seg_loss_jits():
+    rng = np.random.default_rng(5)
+    x1, x2, aff, mask = _rand_inputs(rng, n=2, k=3, h=12, w=12)
+    fn = jax.jit(lambda a, b, c, d: IID_segmentation_loss(
+        a, b, c, d, lamb=1.0, half_T_side_dense=1,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0))
+    loss, _ = fn(jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+                 jnp.asarray(mask))
+    assert np.isfinite(float(loss))

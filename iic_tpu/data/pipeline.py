@@ -1,0 +1,202 @@
+"""TPU-native input pipelines for clustering.
+
+The reference builds ``1 + num_dataloaders`` epoch-aligned torch DataLoaders
+over the same deterministic sequential order, zips them, and assembles each
+training batch from one tf1 sub-batch repeated ``num_dataloaders`` times
+paired with independent tf2 draws (code/utils/cluster/data.py:259-339,
+code/scripts/cluster/cluster_sobel_twohead.py:286-315). Here the raw uint8
+images ship to HBM once; a single jittable ``augment_pair`` function applies
+tf1 once and tf2 ``num_dataloaders`` times on device — the same pairing
+distribution with zero host-side augmentation.
+
+Keys derive from (seed, epoch, batch) via fold_in: restart-reproducible.
+
+Train batches: the pipeline yields (base_uint8, key) and exposes
+``augment_pair`` so the training step can fuse augmentation into its jit.
+Mapping (eval) loaders yield already-transformed tf3 batches + labels.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iic_tpu.data import readers
+from iic_tpu.data.transforms import (
+    make_greyscale_pair_transforms, make_sobel_pair_transforms)
+
+
+def _is_greyscale(config):
+    return config.dataset == "MNIST" or (
+        config.dataset.startswith("Synthetic")
+        and config.dataset.split("x")[-1] == "1")
+
+
+def _load_partitions(config, partitions):
+    parts = []
+    for p in partitions:
+        d = readers.load_dataset(config.dataset, config.dataset_root, p)
+        imgs, labels = d["images"], d["labels"]
+        if (config.dataset == "STL10" and p == "train+unlabeled"
+                and getattr(config, "mix_train", False)):
+            ids = readers.reorder_train_deterministic_ids(
+                n_train=5000, per=len(imgs[5000:]) // 5000)
+            imgs, labels = imgs[ids], labels[ids]
+        parts.append((imgs, labels))
+    images = np.concatenate([p[0] for p in parts])
+    labels = np.concatenate([p[1] for p in parts])
+    return images, labels
+
+
+class ClusterTrainPipeline:
+    """One object replaces the reference's list of parallel dataloaders."""
+
+    def __init__(self, config, partitions, seed=0):
+        self.config = config
+        self.num_dataloaders = config.num_dataloaders
+        self.dataloader_batch_sz = config.batch_sz // config.num_dataloaders
+        self.seed = seed
+        self.images, self.labels = _load_partitions(config, partitions)
+        self.num_batches = int(np.ceil(
+            len(self.images) / self.dataloader_batch_sz))
+
+        grey = _is_greyscale(config)
+        if grey:
+            tf1, tf2, _ = make_greyscale_pair_transforms(config)
+        else:
+            tf1, tf2, _ = make_sobel_pair_transforms(config)
+        r = self.num_dataloaders
+
+        def augment_pair(imgs_u8, key):
+            """(b, H, W, C) uint8 + key -> (b*r, C', sz, sz) float32 pair,
+            NCHW. tf1 drawn once per image and tiled r times; tf2 drawn r
+            times independently (reference pairing semantics)."""
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            b = imgs.shape[0]
+            k1, k2 = jax.random.split(key)
+            tf1_keys = jax.random.split(k1, b)
+            base = jax.vmap(tf1)(imgs, tf1_keys)  # (b, sz, sz, C')
+            all_imgs = jnp.tile(base, (r, 1, 1, 1))
+            tf2_keys = jax.random.split(k2, b * r)
+            tiled = jnp.tile(imgs, (r, 1, 1, 1))
+            all_imgs_tf = jax.vmap(tf2)(tiled, tf2_keys)
+            # NCHW for the model/public API
+            return (jnp.transpose(all_imgs, (0, 3, 1, 2)),
+                    jnp.transpose(all_imgs_tf, (0, 3, 1, 2)))
+
+        self.augment_pair = augment_pair
+        self._augment_jit = jax.jit(augment_pair)
+
+    def epoch(self, epoch_idx, augmented=True):
+        """Iterate deterministic sequential batches. ``augmented=False``
+        yields (base_uint8 device array, key) for fusion into a train step;
+        otherwise yields the augmented pair."""
+        bsz = self.dataloader_batch_sz
+        root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
+        for b_i in range(self.num_batches):
+            batch = self.images[b_i * bsz:(b_i + 1) * bsz]
+            key = jax.random.fold_in(root, b_i)
+            batch_dev = jnp.asarray(batch)
+            if augmented:
+                yield self._augment_jit(batch_dev, key)
+            else:
+                yield batch_dev, key
+
+    def __len__(self):
+        return self.num_batches
+
+
+class MappingLoader:
+    """tf3 (deterministic) eval loader: yields (imgs NCHW float32, labels).
+    Mirrors ``_create_mapping_loader`` (code/utils/cluster/data.py:342-390).
+    """
+
+    def __init__(self, config, partitions, batch_sz=None):
+        self.config = config
+        self.batch_sz = batch_sz or config.batch_sz
+        self.images, self.labels = _load_partitions(config, partitions)
+
+        if _is_greyscale(config):
+            _, _, tf3 = make_greyscale_pair_transforms(config)
+        else:
+            _, _, tf3 = make_sobel_pair_transforms(config)
+
+        def transform(imgs_u8):
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            out = jax.vmap(tf3)(imgs)
+            return jnp.transpose(out, (0, 3, 1, 2))
+
+        self._transform_jit = jax.jit(transform)
+
+    def __iter__(self):
+        bsz = self.batch_sz
+        n = len(self.images)
+        for start in range(0, n, bsz):
+            imgs = self.images[start:start + bsz]
+            labels = self.labels[start:start + bsz]
+            yield self._transform_jit(jnp.asarray(imgs)), labels
+
+    def __len__(self):
+        return int(np.ceil(len(self.images) / self.batch_sz))
+
+
+def _twohead_partitions(config):
+    """Partition tables (code/utils/cluster/data.py:18-75)."""
+    ds = config.dataset
+    if "CIFAR" in ds or ds == "MNIST" or ds.startswith("Synthetic"):
+        train_a = [True, False]
+        train_b = train_a
+        mapping_assign = [True, False]
+        mapping_test = [True, False]
+    elif ds == "STL10":
+        assert config.mix_train
+        if not getattr(config, "stl_leave_out_unlabelled", False):
+            train_a = ["train+unlabeled", "test"]
+        else:
+            train_a = ["train", "test"]
+        train_b = ["train", "test"]
+        mapping_assign = ["train", "test"]
+        mapping_test = ["train", "test"]
+    else:
+        raise ValueError(ds)
+    return train_a, train_b, mapping_assign, mapping_test
+
+
+def cluster_twohead_create_dataloaders(config, seed=0):
+    """Mirror of ``cluster_twohead_create_dataloaders``
+    (code/utils/cluster/data.py:18-101). Returns
+    (train_pipeline_head_A, train_pipeline_head_B,
+     mapping_assignment_loader, mapping_test_loader)."""
+    assert config.mode == "IID"
+    train_a, train_b, map_a, map_t = _twohead_partitions(config)
+    config.train_partitions_head_A = train_a
+    config.train_partitions_head_B = train_b
+    config.mapping_assignment_partitions = map_a
+    config.mapping_test_partitions = map_t
+    return (ClusterTrainPipeline(config, train_a, seed=seed),
+            ClusterTrainPipeline(config, train_b, seed=seed + 1),
+            MappingLoader(config, map_a),
+            MappingLoader(config, map_t))
+
+
+def cluster_create_dataloaders(config, seed=0):
+    """Mirror of ``cluster_create_dataloaders`` (data.py:106-178): IID+
+    single-head with train/test split. Returns
+    (train_pipeline, mapping_assignment_loader, mapping_test_loader)."""
+    assert config.mode == "IID+"
+    ds = config.dataset
+    if "CIFAR" in ds or ds == "MNIST" or ds.startswith("Synthetic"):
+        train = [True]
+        map_a = [True]
+        map_t = [False]
+    elif ds == "STL10":
+        train = ["train+unlabeled"]
+        map_a = ["train"]
+        map_t = ["test"]
+    else:
+        raise ValueError(ds)
+    config.train_partitions = train
+    config.mapping_assignment_partitions = map_a
+    config.mapping_test_partitions = map_t
+    return (ClusterTrainPipeline(config, train, seed=seed),
+            MappingLoader(config, map_a),
+            MappingLoader(config, map_t))

@@ -1,0 +1,194 @@
+"""Host-side dataset readers (no torchvision dependency).
+
+Parse the standard on-disk formats the reference consumes through
+torchvision (code/utils/cluster/data.py:30-72): MNIST idx, CIFAR-10/100
+python pickles, STL10 binaries. Every reader returns
+``{"images": uint8 (N, H, W, C), "labels": int32 (N,)}`` with label -1 for
+unlabelled samples. A clusterable synthetic generator stands in when the
+real files are absent (this container has no dataset downloads)."""
+
+import gzip
+import os
+import pickle
+
+import numpy as np
+
+# CIFAR-100 fine -> coarse (CIFAR20) mapping, identical to the reference's
+# ``_cifar100_to_cifar20`` dict (code/utils/cluster/data.py:393-497), which
+# is CIFAR-100's own published coarse-label hierarchy.
+CIFAR100_TO_CIFAR20 = np.array([
+    4, 1, 14, 8, 0, 6, 7, 7, 18, 3, 3, 14, 9, 18, 7, 11, 3, 9, 7, 11,
+    6, 11, 5, 10, 7, 6, 13, 15, 3, 15, 0, 11, 1, 10, 12, 14, 16, 9, 11, 5,
+    5, 19, 8, 8, 15, 13, 14, 17, 18, 10, 16, 4, 17, 4, 2, 0, 17, 4, 18, 17,
+    10, 3, 2, 12, 12, 16, 12, 1, 9, 19, 2, 10, 0, 1, 16, 12, 9, 13, 15, 13,
+    16, 19, 2, 4, 6, 19, 5, 5, 8, 19, 18, 1, 2, 15, 6, 0, 17, 8, 14, 13,
+], dtype=np.int32)
+
+
+def _find(root, *candidates):
+    for c in candidates:
+        p = os.path.join(root, c)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _read_idx(path):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    magic = int.from_bytes(data[0:4], "big")
+    ndim = magic & 0xFF
+    dims = [int.from_bytes(data[4 + 4 * i: 8 + 4 * i], "big")
+            for i in range(ndim)]
+    arr = np.frombuffer(data, dtype=np.uint8, offset=4 + 4 * ndim)
+    return arr.reshape(dims)
+
+
+def load_mnist(root, train=True):
+    """MNIST idx files (raw or .gz), under root or root/raw."""
+    prefix = "train" if train else "t10k"
+    for sub in ("", "raw", "MNIST/raw"):
+        base = os.path.join(root, sub)
+        imgs_p = _find(base, f"{prefix}-images-idx3-ubyte",
+                       f"{prefix}-images-idx3-ubyte.gz")
+        lbls_p = _find(base, f"{prefix}-labels-idx1-ubyte",
+                       f"{prefix}-labels-idx1-ubyte.gz")
+        if imgs_p and lbls_p:
+            images = _read_idx(imgs_p)[..., None]  # (N, 28, 28, 1)
+            labels = _read_idx(lbls_p).astype(np.int32)
+            return {"images": images, "labels": labels}
+    raise FileNotFoundError(f"MNIST idx files not found under {root}")
+
+
+def _load_cifar_batch(path):
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="latin1")
+    imgs = d["data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return imgs, d
+
+
+def load_cifar10(root, train=True):
+    base = _find(root, "cifar-10-batches-py", "")
+    if base is None or not os.path.isdir(base):
+        raise FileNotFoundError(f"CIFAR-10 not found under {root}")
+    if train:
+        imgs_list, lbls = [], []
+        for i in range(1, 6):
+            p = os.path.join(base, f"data_batch_{i}")
+            imgs, d = _load_cifar_batch(p)
+            imgs_list.append(imgs)
+            lbls += d["labels"]
+        return {"images": np.concatenate(imgs_list),
+                "labels": np.array(lbls, np.int32)}
+    imgs, d = _load_cifar_batch(os.path.join(base, "test_batch"))
+    return {"images": imgs, "labels": np.array(d["labels"], np.int32)}
+
+
+def load_cifar100(root, train=True, coarse=False):
+    base = _find(root, "cifar-100-python", "")
+    if base is None or not os.path.isdir(base):
+        raise FileNotFoundError(f"CIFAR-100 not found under {root}")
+    split = "train" if train else "test"
+    imgs, d = _load_cifar_batch(os.path.join(base, split))
+    fine = np.array(d["fine_labels"], np.int32)
+    labels = CIFAR100_TO_CIFAR20[fine] if coarse else fine
+    return {"images": imgs, "labels": labels}
+
+
+def load_cifar20(root, train=True):
+    """CIFAR100 with the fine->coarse remap applied as target transform
+    (reference code/utils/cluster/data.py:36-37)."""
+    return load_cifar100(root, train=train, coarse=True)
+
+
+def _read_stl_bin(path, n_expected=None):
+    arr = np.fromfile(path, dtype=np.uint8)
+    # column-major 96x96x3 per image per STL10 spec
+    n = arr.size // (3 * 96 * 96)
+    imgs = arr.reshape(n, 3, 96, 96).transpose(0, 3, 2, 1)  # (N, H, W, C)
+    return imgs
+
+
+def load_stl10(root, split="train"):
+    base = _find(root, "stl10_binary", "")
+    if base is None or not os.path.isdir(base):
+        raise FileNotFoundError(f"STL10 not found under {root}")
+
+    def load_part(part):
+        imgs = _read_stl_bin(os.path.join(base, f"{part}_X.bin"))
+        lbl_path = os.path.join(base, f"{part}_y.bin")
+        if os.path.exists(lbl_path):
+            labels = np.fromfile(lbl_path, dtype=np.uint8).astype(
+                np.int32) - 1
+        else:
+            labels = np.full(len(imgs), -1, np.int32)
+        return imgs, labels
+
+    if split in ("train", "test"):
+        imgs, labels = load_part(split)
+    elif split == "unlabeled":
+        imgs = _read_stl_bin(os.path.join(base, "unlabeled_X.bin"))
+        labels = np.full(len(imgs), -1, np.int32)
+    elif split == "train+unlabeled":
+        ti, tl = load_part("train")
+        ui = _read_stl_bin(os.path.join(base, "unlabeled_X.bin"))
+        imgs = np.concatenate([ti, ui])
+        labels = np.concatenate([tl, np.full(len(ui), -1, np.int32)])
+    else:
+        raise ValueError(split)
+    return {"images": imgs, "labels": labels}
+
+
+def reorder_train_deterministic_ids(n_train=5000, per=20):
+    """STL10 mix_train interleave: first 5k spread one-every-20 through the
+    100k unlabelled (reference code/utils/cluster/general.py:26-45)."""
+    ids = []
+    for i in range(n_train):
+        ids.append(i)
+        ids.extend(range(n_train + i * per, n_train + (i + 1) * per))
+    return np.array(ids, dtype=np.int64)
+
+
+def make_synthetic(n, num_classes, sz, channels, seed=0, noise=0.35):
+    """Clusterable synthetic images: each class is a distinct smooth spatial
+    pattern plus noise — unsupervised MI training on these actually
+    converges, so smoke runs exercise the whole stack meaningfully."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:sz, 0:sz].astype(np.float32) / sz
+    patterns = []
+    for c in range(num_classes):
+        fx = 1 + (c % 4)
+        fy = 1 + (c // 4)
+        phase = c * 0.7
+        base = 0.5 + 0.5 * np.sin(2 * np.pi * fx * xx + phase) * \
+            np.cos(2 * np.pi * fy * yy + 0.3 * phase)
+        patterns.append(base)
+    patterns = np.stack(patterns)  # (K, sz, sz)
+
+    labels = rng.integers(0, num_classes, n).astype(np.int32)
+    imgs = patterns[labels][..., None]  # (N, sz, sz, 1)
+    imgs = np.repeat(imgs, channels, axis=-1)
+    imgs = imgs + noise * rng.standard_normal(imgs.shape).astype(np.float32)
+    imgs = np.clip(imgs, 0, 1)
+    return {"images": (imgs * 255).astype(np.uint8), "labels": labels}
+
+
+DATASET_LOADERS = {
+    "MNIST": lambda root, part: load_mnist(root, train=part),
+    "CIFAR10": lambda root, part: load_cifar10(root, train=part),
+    "CIFAR100": lambda root, part: load_cifar100(root, train=part),
+    "CIFAR20": lambda root, part: load_cifar20(root, train=part),
+    "STL10": lambda root, part: load_stl10(root, split=part),
+}
+
+
+def load_dataset(name, root, partition):
+    """partition: bool (train/test) for MNIST/CIFAR, split string for STL10.
+    name "Synthetic<K>x<SZ>x<C>" generates synthetic data."""
+    if name.startswith("Synthetic"):
+        k, sz, c = (int(v) for v in name[len("Synthetic"):].split("x"))
+        n = 2048 if partition in (True, "train", "train+unlabeled") else 512
+        seed = 0 if partition in (True, "train", "train+unlabeled") else 1
+        return make_synthetic(n, k, sz, c, seed=seed)
+    return DATASET_LOADERS[name](root, partition)

@@ -1,0 +1,82 @@
+"""Cluster-to-class matching and metrics.
+
+Reference: code/utils/cluster/eval_metrics.py. The reference builds the
+k x k vote matrix with a Python double loop of elementwise GPU comparisons
+(:40-44); here it is one ``one_hot(preds).T @ one_hot(targets)`` matmul on
+device, then the tiny assignment problem is solved on host with scipy
+(sklearn's removed ``linear_assignment`` was exactly scipy's
+``linear_sum_assignment``).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+
+@partial(jax.jit, static_argnames=("preds_k", "targets_k"))
+def vote_matrix(flat_preds, flat_targets, preds_k, targets_k):
+    """votes[c1, c2] = #samples with pred == c1 and target == c2.
+
+    One matmul on the MXU instead of the reference's k^2 elementwise passes
+    (code/utils/cluster/eval_metrics.py:40-44).
+    """
+    p = jax.nn.one_hot(flat_preds, preds_k, dtype=jnp.float32)
+    t = jax.nn.one_hot(flat_targets, targets_k, dtype=jnp.float32)
+    return jnp.dot(p.T, t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def hungarian_match(flat_preds, flat_targets, preds_k, targets_k):
+    """One-to-one match maximising votes (reference ``_hungarian_match``,
+    eval_metrics.py:29-54). Returns list of (pred_c, target_c) tuples."""
+    assert preds_k == targets_k
+    num_samples = int(np.shape(flat_targets)[0])
+    votes = np.asarray(vote_matrix(flat_preds, flat_targets,
+                                   preds_k, targets_k))
+    # reference minimises (num_samples - votes)
+    row, col = linear_sum_assignment(num_samples - votes)
+    return list(zip(row.tolist(), col.tolist()))
+
+
+def original_match(flat_preds, flat_targets, preds_k, targets_k):
+    """Many-to-one match: each output channel to its most frequent ground
+    truth (reference ``_original_match``, eval_metrics.py:9-26)."""
+    votes = np.asarray(vote_matrix(flat_preds, flat_targets,
+                                   preds_k, targets_k))
+    return [(out_c, int(np.argmax(votes[out_c])))
+            for out_c in range(preds_k)]
+
+
+def reorder_preds(flat_preds, match, dtype=np.int32):
+    """Apply a match (list of (pred, target)) to relabel predictions
+    (reference cluster_eval.py:216-217)."""
+    flat_preds = np.asarray(flat_preds)
+    reordered = np.zeros_like(flat_preds, dtype=dtype)
+    for pred_i, target_i in match:
+        reordered[flat_preds == pred_i] = target_i
+    return reordered
+
+
+def accuracy(preds, targets, num_k=None):
+    """Mean 0/1 accuracy (reference ``_acc``, eval_metrics.py:57-70)."""
+    preds = np.asarray(preds)
+    targets = np.asarray(targets)
+    assert preds.shape == targets.shape
+    if num_k is not None:
+        assert preds.max() < num_k and targets.max() < num_k
+    return float((preds == targets).sum() / preds.shape[0])
+
+
+def nmi(preds, targets):
+    from sklearn import metrics
+    return metrics.normalized_mutual_info_score(
+        np.asarray(targets), np.asarray(preds))
+
+
+def ari(preds, targets):
+    from sklearn import metrics
+    return metrics.adjusted_rand_score(
+        np.asarray(targets), np.asarray(preds))

@@ -1,0 +1,253 @@
+"""Fused, shard_map-able training steps.
+
+One jitted program per (head, workload): on-device augmentation -> sobel ->
+double forward -> per-sub-head IID loss -> grads -> optax update. Under a
+mesh the batch is sharded over the ``data`` axis, params/optimizer state are
+replicated, and two reduction modes are offered (SURVEY.md §5.8):
+
+  - ``joint_mode="global"`` (default): psum the unnormalised k x k joint
+    before the log terms — the exact global-batch MI estimator (a k x k
+    all-reduce over ICI, essentially free).
+  - ``joint_mode="parity"``: per-shard joint, mean of per-shard losses —
+    numerically equivalent to the reference's DataParallel behaviour.
+
+Replicated-param gradients are reduced with psum (global: the per-shard grad
+is the shard's contribution to the one global loss) or pmean (parity: the
+loss is a mean over shards).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from iic_tpu.ops.iid_loss import IID_loss
+from iic_tpu.ops.iid_seg_loss import (
+    IID_segmentation_loss, IID_segmentation_loss_uncollapsed)
+from iic_tpu.ops.sobel import sobel_process
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, tx):
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward(net, params, batch_stats, imgs, **kw):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        out, upd = net.apply(variables, imgs, train=True,
+                             mutable=["batch_stats"], **kw)
+        return out, upd["batch_stats"]
+    out = net.apply(variables, imgs, train=True, **kw)
+    return out, batch_stats
+
+
+def _reduce_grads(grads, axis_name, joint_mode):
+    if axis_name is None:
+        return grads
+    red = jax.lax.psum if joint_mode == "global" else jax.lax.pmean
+    return jax.tree_util.tree_map(lambda g: red(g, axis_name), grads)
+
+
+def _sync_batch_stats(bs, axis_name):
+    """Running BN stats are updated per shard with per-shard batches; average
+    them so the returned (replicated-spec) state is consistent across the
+    mesh. (The reference's DataParallel keeps replica-0's stats — averaging
+    is the strictly-better estimate of the same quantity.)"""
+    if axis_name is None or not bs:
+        return bs
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name), bs)
+
+
+def make_cluster_train_step(net, tx, augment_pair, lamb, head,
+                            sobel=False, include_rgb=False,
+                            mesh=None, axis_name="data",
+                            joint_mode="global"):
+    """Build the jitted clustering train step for one head.
+
+    step(state, base_u8 (b, H, W, C) uint8, key) ->
+        (state, loss, loss_no_lamb)
+
+    Mirrors the hot loop of cluster_sobel_twohead.py:286-355 with
+    augmentation fused on device.
+    """
+
+    def step_fn(state, base_u8, key, axis):
+        if axis is not None:
+            # decorrelate augmentation draws across shards
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        imgs, imgs_tf = augment_pair(base_u8, key)
+        if sobel:
+            imgs = sobel_process(imgs, include_rgb)
+            imgs_tf = sobel_process(imgs_tf, include_rgb)
+
+        def loss_fn(params):
+            out, bs = _forward(net, params, state.batch_stats, imgs,
+                               head=head)
+            out_tf, bs = _forward(net, params, bs, imgs_tf, head=head)
+            losses, losses_nl = jax.vmap(
+                lambda a, b: IID_loss(a, b, lamb=lamb,
+                                      axis_name=axis if joint_mode ==
+                                      "global" else None)
+            )(out, out_tf)
+            loss = losses.mean()
+            loss_nl = losses_nl.mean()
+            if axis is not None and joint_mode != "global":
+                loss = jax.lax.pmean(loss, axis)
+                loss_nl = jax.lax.pmean(loss_nl, axis)
+            return loss, (loss_nl, bs)
+
+        (loss, (loss_nl, bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = _reduce_grads(grads, axis, joint_mode)
+        bs = _sync_batch_stats(bs, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=bs,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, loss_nl
+
+    return _wrap(step_fn, mesh, axis_name)
+
+
+def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
+                        half_T_side_sparse_min, half_T_side_sparse_max,
+                        sobel=False, include_rgb=False, using_IR=False,
+                        use_uncollapsed_loss=False,
+                        mesh=None, axis_name="data", joint_mode="global"):
+    """Build the jitted segmentation train step for one head.
+
+    step(state, (img1, img2, affine2_to_1, mask), key) ->
+        (state, loss, loss_no_lamb)
+
+    Mirrors segmentation_twohead.py:262-357. The batch tuple layout matches
+    the reference's dataloader output.
+    """
+    loss_impl = (IID_segmentation_loss_uncollapsed if use_uncollapsed_loss
+                 else IID_segmentation_loss)
+
+    def step_fn(state, batch, key, axis):
+        img1, img2, affine2_to_1, mask = batch
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        if sobel:
+            img1 = sobel_process(img1, include_rgb, using_IR=using_IR)
+            img2 = sobel_process(img2, include_rgb, using_IR=using_IR)
+
+        def loss_fn(params):
+            out1, bs = _forward(net, params, state.batch_stats, img1,
+                                head=head)
+            out2, bs = _forward(net, params, bs, img2, head=head)
+            # out: (num_sub_heads, b, k, h, w)
+            sub_keys = jax.random.split(key, out1.shape[0])
+            losses, losses_nl = jax.vmap(
+                lambda x1, x2, k_: loss_impl(
+                    x1, x2, affine2_to_1, mask, lamb=lamb,
+                    half_T_side_dense=half_T_side_dense,
+                    half_T_side_sparse_min=half_T_side_sparse_min,
+                    half_T_side_sparse_max=half_T_side_sparse_max,
+                    key=k_,
+                    axis_name=axis if joint_mode == "global" else None)
+            )(out1, out2, sub_keys)
+            loss = losses.mean()
+            loss_nl = losses_nl.mean()
+            if axis is not None and joint_mode != "global":
+                loss = jax.lax.pmean(loss, axis)
+                loss_nl = jax.lax.pmean(loss_nl, axis)
+            return loss, (loss_nl, bs)
+
+        (loss, (loss_nl, bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = _reduce_grads(grads, axis, joint_mode)
+        bs = _sync_batch_stats(bs, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=bs,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, loss_nl
+
+    return _wrap(step_fn, mesh, axis_name, batch_is_tuple=True)
+
+
+def _wrap(step_fn, mesh, axis_name, batch_is_tuple=False):
+    """jit the step, inserting shard_map when a mesh is given."""
+    if mesh is None:
+        fn = partial(step_fn, axis=None)
+        return jax.jit(lambda state, batch, key: fn(state, batch, key))
+
+    batch_spec = (P(axis_name),) * 4 if batch_is_tuple else P(axis_name)
+    sharded = jax.shard_map(
+        partial(step_fn, axis=axis_name),
+        mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_apply_fn(net, head=None, sobel=False, include_rgb=False,
+                  train_mode=False):
+    """Eval-time forward closure factory for the eval stack: returns
+    apply_fn(variables, imgs) jitted; bind variables with functools.partial
+    per evaluation. ``train_mode=True`` reproduces "double eval" (BN in
+    batch-stats mode, without updating stats)."""
+
+    @jax.jit
+    def apply_fn(variables, imgs):
+        if sobel:
+            imgs = sobel_process(imgs, include_rgb)
+        kwargs = {} if head is None else {"head": head}
+        v = {"params": variables["params"]}
+        bs = variables.get("batch_stats") or None
+        if bs:
+            v["batch_stats"] = bs
+        if train_mode:
+            out = net.apply(v, imgs, train=True,
+                            mutable=["batch_stats"], **kwargs)[0]
+        else:
+            out = net.apply(v, imgs, train=False, **kwargs)
+        return out
+
+    return apply_fn
+
+
+def make_seg_apply_fn(net, head=None, sobel=False, include_rgb=False,
+                      using_IR=False, train_mode=False):
+    @jax.jit
+    def apply_fn(variables, imgs):
+        if sobel:
+            imgs = sobel_process(imgs, include_rgb, using_IR=using_IR)
+        kwargs = {} if head is None else {"head": head}
+        v = {"params": variables["params"]}
+        bs = variables.get("batch_stats") or None
+        if bs:
+            v["batch_stats"] = bs
+        if train_mode:
+            out = net.apply(v, imgs, train=True,
+                            mutable=["batch_stats"], **kwargs)[0]
+        else:
+            out = net.apply(v, imgs, train=False, **kwargs)
+        return out
+
+    return apply_fn

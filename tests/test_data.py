@@ -1,0 +1,237 @@
+"""Data layer tests: transform semantics (vs torch/PIL where meaningful),
+pairing structure, determinism, reader formats via generated fixture files."""
+
+import gzip
+import os
+import pickle
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iic_tpu.data import readers, transforms
+from iic_tpu.data.pipeline import (
+    ClusterTrainPipeline, MappingLoader, cluster_twohead_create_dataloaders)
+
+
+# ----------------------------------------------------------- transforms
+
+def test_to_grey_matches_pil():
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pil_grey = np.asarray(
+        PIL.fromarray(img).convert("L")).astype(np.float32)
+    ours = np.asarray(
+        transforms.to_grey(jnp.asarray(img, jnp.float32)))[..., 0]
+    # PIL rounds to uint8; allow 1 grey level
+    np.testing.assert_allclose(ours, pil_grey, atol=1.0)
+
+
+def test_center_crop_and_random_crop():
+    img = jnp.arange(8 * 8 * 1, dtype=jnp.float32).reshape(8, 8, 1)
+    c = transforms.center_crop(img, 4)
+    assert c.shape == (4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(c)[..., 0],
+                                  np.asarray(img)[2:6, 2:6, 0])
+    # random crops stay in bounds and vary
+    crops = set()
+    for i in range(20):
+        r = transforms.random_crop(img, jax.random.PRNGKey(i), 4)
+        crops.add(float(np.asarray(r)[0, 0, 0]))
+    assert len(crops) > 3
+
+
+def test_random_flip_is_bernoulli():
+    img = jnp.arange(4 * 4, dtype=jnp.float32).reshape(4, 4, 1)
+    flipped = [bool(np.allclose(
+        np.asarray(transforms.random_flip(img, jax.random.PRNGKey(i))),
+        np.asarray(img)[:, ::-1])) for i in range(40)]
+    frac = np.mean(flipped)
+    assert 0.2 < frac < 0.8
+
+
+def test_rotation_identity_at_zero():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (12, 12, 1)).astype(np.float32))
+    out = transforms.random_rotation(img, jax.random.PRNGKey(0), 0.0,
+                                     always=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_color_jitter_brightness_only():
+    img = jnp.full((8, 8, 3), 0.5, jnp.float32)
+    out = transforms.color_jitter(img, jax.random.PRNGKey(0),
+                                  brightness=0.4, contrast=0.0,
+                                  saturation=0.0, hue=0.0)
+    arr = np.asarray(out)
+    # uniform image: contrast/saturation/hue no-ops, brightness scales
+    assert np.allclose(arr, arr[0, 0, 0])
+    assert 0.5 * 0.6 - 1e-5 <= arr[0, 0, 0] <= 0.5 * 1.4 + 1e-5
+
+
+def test_hue_rotation_preserves_value():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (6, 6, 3)).astype(np.float32))
+    out = transforms._adjust_hue(img, 0.25)
+    # max channel value (HSV V) preserved under hue rotation
+    np.testing.assert_allclose(np.asarray(out).max(-1),
+                               np.asarray(img).max(-1), atol=1e-4)
+    # full turn = identity
+    out_full = transforms._adjust_hue(img, 1.0)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(img),
+                               atol=1e-4)
+
+
+def test_cutout_zeroes_a_box():
+    img = jnp.ones((16, 16, 1), jnp.float32)
+    out = np.asarray(transforms.random_cutout(
+        img, jax.random.PRNGKey(0), 4, 8))
+    n_zero = (out == 0).sum()
+    assert n_zero >= 4 * 4 // 2  # at least half the min box (even halving)
+    assert n_zero < 16 * 16  # not everything
+
+
+# ----------------------------------------------------------- pipelines
+
+def _mnist_like_config(**kw):
+    cfg = SimpleNamespace(
+        dataset="Synthetic10x28x1", dataset_root="", mode="IID",
+        batch_sz=40, num_dataloaders=4, input_sz=24, gt_k=10,
+        output_k_A=50, output_k_B=10, num_sub_heads=2,
+        crop_orig=True, crop_other=True, tf1_crop="centre_half",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=[16, 20, 24],
+        rot_val=25.0, no_flip=True, no_jitter=False,
+        include_rgb=False, mix_train=False)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_pipeline_pairing_structure():
+    """tf1 side = one draw tiled r times; tf2 side = r independent draws."""
+    cfg = _mnist_like_config()
+    pipe = ClusterTrainPipeline(cfg, [True])
+    imgs, imgs_tf = next(pipe.epoch(0))
+    b = cfg.batch_sz // cfg.num_dataloaders
+    assert imgs.shape == (cfg.batch_sz, 1, 24, 24)
+    assert imgs_tf.shape == (cfg.batch_sz, 1, 24, 24)
+    a = np.asarray(imgs)
+    # tiled: copy j of image i equals copy 0 of image i
+    np.testing.assert_allclose(a[:b], a[b:2 * b], atol=1e-6)
+    # tf2 copies differ
+    t = np.asarray(imgs_tf)
+    assert np.abs(t[:b] - t[b:2 * b]).max() > 1e-3
+
+
+def test_pipeline_deterministic_per_epoch():
+    cfg = _mnist_like_config()
+    pipe = ClusterTrainPipeline(cfg, [True])
+    a1, _ = next(pipe.epoch(3))
+    a2, _ = next(pipe.epoch(3))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    b1, _ = next(pipe.epoch(4))
+    assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 1e-3
+
+
+def test_twohead_factory_and_mapping_loader():
+    cfg = _mnist_like_config()
+    pipe_a, pipe_b, map_a, map_t = cluster_twohead_create_dataloaders(cfg)
+    assert len(pipe_a) == len(pipe_b)
+    imgs, labels = next(iter(map_a))
+    assert imgs.shape[1:] == (1, 24, 24)
+    assert labels.shape[0] == imgs.shape[0]
+    assert imgs.dtype == jnp.float32
+    # tf3 deterministic: two iterations identical
+    imgs2, _ = next(iter(map_a))
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
+
+
+def test_sobel_path_pipeline_channels():
+    cfg = _mnist_like_config(dataset="Synthetic10x32x3", include_rgb=True,
+                             rand_crop_sz=20, input_sz=32)
+    pipe = ClusterTrainPipeline(cfg, [True])
+    imgs, imgs_tf = next(pipe.epoch(0))
+    assert imgs.shape[1] == 4  # rgb + grey
+    cfg2 = _mnist_like_config(dataset="Synthetic10x32x3", include_rgb=False,
+                              rand_crop_sz=20, input_sz=32)
+    pipe2 = ClusterTrainPipeline(cfg2, [True])
+    imgs2, _ = next(pipe2.epoch(0))
+    assert imgs2.shape[1] == 1  # grey only
+
+
+# ----------------------------------------------------------- readers
+
+def test_mnist_reader_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (10, 28, 28), dtype=np.uint8)
+    labels = rng.integers(0, 10, 10, dtype=np.uint8)
+
+    def write_idx(path, arr, magic):
+        with gzip.open(path, "wb") as f:
+            f.write(magic.to_bytes(4, "big"))
+            for d in arr.shape:
+                f.write(d.to_bytes(4, "big"))
+            f.write(arr.tobytes())
+
+    write_idx(tmp_path / "train-images-idx3-ubyte.gz", imgs, 0x00000803)
+    write_idx(tmp_path / "train-labels-idx1-ubyte.gz", labels, 0x00000801)
+    d = readers.load_mnist(str(tmp_path), train=True)
+    np.testing.assert_array_equal(d["images"][..., 0], imgs)
+    np.testing.assert_array_equal(d["labels"], labels)
+
+
+def test_cifar10_reader_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    all_imgs, all_labels = [], []
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+        labels = rng.integers(0, 10, 20).tolist()
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump({"data": data, "labels": labels}, f)
+        all_imgs.append(data)
+        all_labels += labels
+    d = readers.load_cifar10(str(tmp_path), train=True)
+    assert d["images"].shape == (100, 32, 32, 3)
+    np.testing.assert_array_equal(d["labels"], all_labels)
+    expected = np.concatenate(all_imgs).reshape(-1, 3, 32, 32)
+    np.testing.assert_array_equal(d["images"].transpose(0, 3, 1, 2),
+                                  expected)
+
+
+def test_cifar20_mapping_matches_reference_dict():
+    # spot-check several entries of the published fine->coarse table
+    assert readers.CIFAR100_TO_CIFAR20[0] == 4
+    assert readers.CIFAR100_TO_CIFAR20[99] == 13
+    assert readers.CIFAR100_TO_CIFAR20[50] == 16
+    assert readers.CIFAR100_TO_CIFAR20[71] == 10
+    assert len(readers.CIFAR100_TO_CIFAR20) == 100
+    # every coarse class has exactly 5 fine classes
+    counts = np.bincount(readers.CIFAR100_TO_CIFAR20)
+    assert (counts == 5).all()
+
+
+def test_stl10_mix_train_interleave_ids():
+    ids = readers.reorder_train_deterministic_ids(5000, 20)
+    assert len(ids) == 105000
+    assert ids[0] == 0
+    np.testing.assert_array_equal(ids[1:21], np.arange(5000, 5020))
+    assert ids[21] == 1
+    assert sorted(ids.tolist()) == list(range(105000))
+
+
+def test_synthetic_is_clusterable():
+    d = readers.make_synthetic(200, 5, 24, 1, seed=0)
+    assert d["images"].shape == (200, 24, 24, 1)
+    # same-class images correlate more than cross-class
+    imgs = d["images"].astype(np.float32) / 255.0
+    labels = d["labels"]
+    c0 = imgs[labels == 0].reshape(-1, 24 * 24)
+    c1 = imgs[labels == 1].reshape(-1, 24 * 24)
+    within = np.corrcoef(c0[0], c0[1])[0, 1]
+    across = np.corrcoef(c0[0], c1[0])[0, 1]
+    assert within > across

@@ -26,9 +26,12 @@ from iic_tpu.data.transforms import (
 
 
 def _is_greyscale(config):
-    return config.dataset == "MNIST" or (
-        config.dataset.startswith("Synthetic")
-        and config.dataset.split("x")[-1] == "1")
+    if config.dataset == "MNIST":
+        return True
+    if config.dataset.startswith("Synthetic"):
+        # Synthetic<K>x<SZ>x<C>[x<N>]: channels is the third field
+        return config.dataset[len("Synthetic"):].split("x")[2] == "1"
+    return False
 
 
 def _load_partitions(config, partitions):

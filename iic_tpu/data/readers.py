@@ -185,10 +185,13 @@ DATASET_LOADERS = {
 
 def load_dataset(name, root, partition):
     """partition: bool (train/test) for MNIST/CIFAR, split string for STL10.
-    name "Synthetic<K>x<SZ>x<C>" generates synthetic data."""
+    name "Synthetic<K>x<SZ>x<C>[x<N>]" generates synthetic data (N = train
+    set size, default 2048; test split is N//4)."""
     if name.startswith("Synthetic"):
-        k, sz, c = (int(v) for v in name[len("Synthetic"):].split("x"))
-        n = 2048 if partition in (True, "train", "train+unlabeled") else 512
-        seed = 0 if partition in (True, "train", "train+unlabeled") else 1
-        return make_synthetic(n, k, sz, c, seed=seed)
+        fields = [int(v) for v in name[len("Synthetic"):].split("x")]
+        k, sz, c = fields[:3]
+        n_train = fields[3] if len(fields) > 3 else 2048
+        is_train = partition in (True, "train", "train+unlabeled")
+        n = n_train if is_train else max(n_train // 4, k * 4)
+        return make_synthetic(n, k, sz, c, seed=0 if is_train else 1)
     return DATASET_LOADERS[name](root, partition)

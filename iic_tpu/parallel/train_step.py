@@ -101,10 +101,12 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
             imgs = sobel_process(imgs, include_rgb)
             imgs_tf = sobel_process(imgs_tf, include_rgb)
 
+        head_kw = {} if head is None else {"head": head}
+
         def loss_fn(params):
             out, bs = _forward(net, params, state.batch_stats, imgs,
-                               head=head)
-            out_tf, bs = _forward(net, params, bs, imgs_tf, head=head)
+                               **head_kw)
+            out_tf, bs = _forward(net, params, bs, imgs_tf, **head_kw)
             losses, losses_nl = jax.vmap(
                 lambda a, b: IID_loss(a, b, lamb=lamb,
                                       axis_name=axis if joint_mode ==
@@ -154,10 +156,12 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
             img1 = sobel_process(img1, include_rgb, using_IR=using_IR)
             img2 = sobel_process(img2, include_rgb, using_IR=using_IR)
 
+        head_kw = {} if head is None else {"head": head}
+
         def loss_fn(params):
             out1, bs = _forward(net, params, state.batch_stats, img1,
-                                head=head)
-            out2, bs = _forward(net, params, bs, img2, head=head)
+                                **head_kw)
+            out2, bs = _forward(net, params, bs, img2, **head_kw)
             # out: (num_sub_heads, b, k, h, w)
             sub_keys = jax.random.split(key, out1.shape[0])
             losses, losses_nl = jax.vmap(

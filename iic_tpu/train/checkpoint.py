@@ -1,0 +1,71 @@
+"""Checkpointing with the reference's run-directory layout and restart
+semantics (SURVEY.md §5.4): ``out_root/model_ind/`` holds latest/best model+
+optimiser state, a pickled config + metric history (the reference's
+"config-as-experiment-database"), and a human-readable config.txt. State is
+serialised with flax msgpack; checkpoints are device-agnostic."""
+
+import dataclasses
+import os
+import pickle
+
+import jax
+import numpy as np
+from flax import serialization
+
+from iic_tpu.parallel.train_step import TrainState
+from iic_tpu.train.config import config_to_str
+
+
+def run_dir(config):
+    d = os.path.join(config.out_root, str(config.model_ind))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _state_to_bytes(state):
+    pure = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    return serialization.to_bytes(pure)
+
+
+def save_checkpoint(config, state, history, name="latest", last_epoch=None):
+    """Write <name>.ckpt + config.pickle + config.txt.
+    ``last_epoch`` mirrors config.last_epoch (restart bookmark)."""
+    d = run_dir(config)
+    with open(os.path.join(d, f"{name}.ckpt"), "wb") as f:
+        f.write(_state_to_bytes(state))
+    meta = {
+        "config": dataclasses.asdict(config),
+        "history": history,
+        "last_epoch": last_epoch,
+    }
+    with open(os.path.join(d, "config.pickle"), "wb") as f:
+        pickle.dump(meta, f)
+    with open(os.path.join(d, "config.txt"), "w") as f:
+        f.write(config_to_str(config) + f"\nlast_epoch: {last_epoch}\n")
+
+
+def load_checkpoint(config, state_template, name="latest"):
+    """Restore (state, history, last_epoch) from a run dir. The template
+    provides the pytree structure (same shapes as at save time)."""
+    d = run_dir(config)
+    with open(os.path.join(d, f"{name}.ckpt"), "rb") as f:
+        raw = f.read()
+    target = {
+        "params": jax.device_get(state_template.params),
+        "batch_stats": jax.device_get(state_template.batch_stats),
+        "opt_state": jax.device_get(state_template.opt_state),
+        "step": 0,
+    }
+    pure = serialization.from_bytes(target, raw)
+    state = TrainState(
+        params=pure["params"], batch_stats=pure["batch_stats"],
+        opt_state=pure["opt_state"],
+        step=np.asarray(pure["step"], np.int32))
+    with open(os.path.join(d, "config.pickle"), "rb") as f:
+        meta = pickle.load(f)
+    return state, meta["history"], meta["last_epoch"]

@@ -1,0 +1,327 @@
+"""Two-head clustering trainer.
+
+The epoch/head/batch loop of the reference training scripts
+(code/scripts/cluster/cluster_sobel_twohead.py:259-459 and
+cluster_greyscale_twohead.py) on top of the fused TPU train steps: head
+alternation (head_A_first, head_{A,B}_epochs), lr schedule (multiplicative,
+Adam moments preserved), NaN watchdog, per-epoch Hungarian eval with
+optional double eval, latest/best checkpointing, restart with history
+truncation, --test_code smoke mode, per-epoch plots.png.
+"""
+
+import dataclasses
+import os
+import sys
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iic_tpu import models
+from iic_tpu.data.pipeline import cluster_twohead_create_dataloaders
+from iic_tpu.evals import EvalHistory, cluster_eval, get_subhead_using_loss
+from iic_tpu.parallel import (
+    create_train_state, make_apply_fn, make_cluster_train_step, make_mesh)
+from iic_tpu.train import checkpoint as ckpt
+from iic_tpu.train.config import config_to_str
+
+
+def _log(msg):
+    print(msg)
+    sys.stdout.flush()
+
+
+def make_optimizer(config):
+    assert config.opt == "Adam"  # reference supports Adam only
+    return optax.inject_hyperparams(optax.adam)(learning_rate=config.lr)
+
+
+def set_lr_mult(state, lr_mult):
+    """Reference ``update_lr`` (utils/cluster/general.py:20-23): multiply lr
+    in place, keeping optimiser moments."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = hp["learning_rate"] * lr_mult
+    return dataclasses.replace(state, opt_state=opt_state._replace(
+        hyperparams=hp))
+
+
+def _make_history():
+    return {
+        "eval": EvalHistory(),
+        "epoch_loss_head_A": [], "epoch_loss_no_lamb_head_A": [],
+        "epoch_loss_head_B": [], "epoch_loss_no_lamb_head_B": [],
+    }
+
+
+def _truncate_history(history, next_epoch):
+    history["eval"].truncate(next_epoch - 1)
+    for k in ("epoch_loss_head_A", "epoch_loss_no_lamb_head_A",
+              "epoch_loss_head_B", "epoch_loss_no_lamb_head_B"):
+        del history[k][next_epoch - 1:]
+
+
+def _save_plots(config, history):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    ev = history["eval"]
+    n = 6 + 2 * int(config.double_eval)
+    fig, axarr = plt.subplots(n, sharex=False, figsize=(20, 20))
+    panels = [
+        ("acc", ev.epoch_acc),
+        ("avg_subhead_acc", ev.epoch_avg_subhead_acc),
+        ("loss A", history["epoch_loss_head_A"]),
+        ("loss no lamb A", history["epoch_loss_no_lamb_head_A"]),
+        ("loss B", history["epoch_loss_head_B"]),
+        ("loss no lamb B", history["epoch_loss_no_lamb_head_B"]),
+    ]
+    if config.double_eval:
+        panels += [("double eval acc", ev.double_eval_acc),
+                   ("double eval avg subhead acc",
+                    ev.double_eval_avg_subhead_acc)]
+    for ax, (title, data) in zip(axarr, panels):
+        ax.clear()
+        ax.plot(data)
+        ax.set_title(title)
+    fig.canvas.draw_idle()
+    fig.savefig(os.path.join(ckpt.run_dir(config), "plots.png"))
+    plt.close(fig)
+
+
+def build_net_and_state(config):
+    """Net + initialised TrainState (+ optimizer) for a cluster config."""
+    net = models.build(config.arch, config)
+    dummy_c = config.in_channels
+    dummy = jnp.zeros((2, dummy_c, config.input_sz, config.input_sz),
+                      jnp.float32)
+    heads = ("A", "B") if config.twohead else None
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(config.seed), dummy, heads=heads)
+    tx = make_optimizer(config)
+    state = create_train_state(variables, tx)
+    return net, tx, state
+
+
+def make_eval_apply(net, state, config, head="B", train_mode=False):
+    apply_raw = make_apply_fn(net, head=head, sobel=config.sobel,
+                              include_rgb=config.include_rgb,
+                              train_mode=train_mode)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return lambda imgs: apply_raw(variables, imgs)
+
+
+def train_cluster_twohead(config):
+    """Run the full two-head clustering workload. Returns (state, history).
+
+    Reference: cluster_sobel_twohead.py / cluster_greyscale_twohead.py main.
+    """
+    _log(config_to_str(config))
+
+    pipe_a, pipe_b, map_assign, map_test = \
+        cluster_twohead_create_dataloaders(config, seed=config.seed)
+
+    net, tx, state = build_net_and_state(config)
+
+    mesh = None
+    if config.n_devices is not None and config.n_devices > 1:
+        mesh = make_mesh(config.n_devices)
+
+    lamb_a = getattr(config, "lamb_A", config.lamb)
+    lamb_b = getattr(config, "lamb_B", config.lamb)
+    steps = {
+        "A": make_cluster_train_step(
+            net, tx, pipe_a.augment_pair, lamb=lamb_a, head="A",
+            sobel=config.sobel, include_rgb=config.include_rgb,
+            mesh=mesh, joint_mode=config.joint_mode),
+        "B": make_cluster_train_step(
+            net, tx, pipe_b.augment_pair, lamb=lamb_b, head="B",
+            sobel=config.sobel, include_rgb=config.include_rgb,
+            mesh=mesh, joint_mode=config.joint_mode),
+    }
+    pipes = {"A": pipe_a, "B": pipe_b}
+
+    heads = ["A", "B"] if config.head_A_first else ["B", "A"]
+    head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
+
+    history = _make_history()
+    next_epoch = 1
+    if config.restart:
+        state, history, last_epoch = ckpt.load_checkpoint(
+            config, state,
+            name="best" if config.restart_from_best else "latest")
+        if config.restart_from_best:
+            next_epoch = int(np.argmax(history["eval"].epoch_acc)) + 1
+        else:
+            next_epoch = last_epoch + 1
+        _truncate_history(history, next_epoch)
+        _log(f"restarting from epoch {next_epoch}")
+    else:
+        sub_head = None
+        if config.select_sub_head_on_loss:
+            sub_head = _select_sub_head_on_loss(config, net, state, pipe_b,
+                                                lamb_b)
+        _pre_eval(config, net, state, map_assign, map_test, history,
+                  sub_head)
+
+    for e_i in range(next_epoch, config.num_epochs):
+        _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if e_i in set(config.lr_schedule):
+            state = set_lr_mult(state, config.lr_mult)
+
+        for head in heads:
+            avg_loss = avg_loss_nl = 0.0
+            count = 0
+            for _ in range(head_epochs[head]):
+                for b_i, (base, key) in enumerate(
+                        pipes[head].epoch(e_i, augmented=False)):
+                    state, loss, loss_nl = steps[head](state, base, key)
+                    loss, loss_nl = float(loss), float(loss_nl)
+                    if not np.isfinite(loss):
+                        _log(f"Loss is NaN/inf ({loss}). Exiting.")
+                        sys.exit(1)
+                    avg_loss += loss
+                    avg_loss_nl += loss_nl
+                    count += 1
+                    if b_i % 100 == 0:
+                        _log(f"  head {head} batch {b_i} loss {loss:.5f} "
+                             f"{datetime.now()}")
+                    if config.test_code and b_i >= 1:
+                        break
+            history[f"epoch_loss_head_{head}"].append(avg_loss / count)
+            history[f"epoch_loss_no_lamb_head_{head}"].append(
+                avg_loss_nl / count)
+
+        is_best = _epoch_eval(config, net, state, map_assign, map_test,
+                              history)
+        _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
+             f"avg {history['eval'].epoch_avg_subhead_acc[-1]:.6f} "
+             f"loss A {history['epoch_loss_head_A'][-1]:.5f} "
+             f"loss B {history['epoch_loss_head_B'][-1]:.5f}")
+
+        _save_plots(config, history)
+        if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
+            ckpt.save_checkpoint(config, state, history, "latest",
+                                 last_epoch=e_i)
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=e_i)
+        if config.test_code:
+            break
+
+    return state, history
+
+
+def _pre_eval(config, net, state, map_assign, map_test, history, sub_head):
+    double_apply = None
+    if config.double_eval:
+        double_apply = make_eval_apply(net, state, config, train_mode=True)
+    cluster_eval(
+        config, make_eval_apply(net, state, config),
+        map_assign, map_test, history=history["eval"],
+        double_eval_apply_fn=double_apply, use_sub_head=sub_head)
+    _log(f"Pre: {history['eval'].epoch_stats[-1]}")
+
+
+def _epoch_eval(config, net, state, map_assign, map_test, history):
+    double_apply = None
+    if config.double_eval:
+        double_apply = make_eval_apply(net, state, config, train_mode=True)
+    is_best, _ = cluster_eval(
+        config, make_eval_apply(net, state, config),
+        map_assign, map_test, history=history["eval"],
+        double_eval_apply_fn=double_apply)
+    return is_best
+
+
+def train_cluster_single(config):
+    """Single-head IID+ clustering workload (semisup overclustering
+    pretraining). Reference: cluster_sobel.py:101-347 / cluster_greyscale.py.
+    Returns (state, history)."""
+    from iic_tpu.data.pipeline import cluster_create_dataloaders
+
+    _log(config_to_str(config))
+    pipe, map_assign, map_test = cluster_create_dataloaders(
+        config, seed=config.seed)
+    net, tx, state = build_net_and_state(config)
+
+    mesh = None
+    if config.n_devices is not None and config.n_devices > 1:
+        mesh = make_mesh(config.n_devices)
+
+    step = make_cluster_train_step(
+        net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
+        sobel=config.sobel, include_rgb=config.include_rgb,
+        mesh=mesh, joint_mode=config.joint_mode)
+
+    history = _make_history()
+    next_epoch = 1
+    if config.restart:
+        state, history, last_epoch = ckpt.load_checkpoint(
+            config, state,
+            name="best" if config.restart_from_best else "latest")
+        next_epoch = (int(np.argmax(history["eval"].epoch_acc)) + 1
+                      if config.restart_from_best else last_epoch + 1)
+        _truncate_history(history, next_epoch)
+        _log(f"restarting from epoch {next_epoch}")
+    else:
+        apply_fn = make_eval_apply(net, state, config, head=None)
+        cluster_eval(config, apply_fn, map_assign, map_test,
+                     history=history["eval"])
+        _log(f"Pre: {history['eval'].epoch_stats[-1]}")
+
+    for e_i in range(next_epoch, config.num_epochs):
+        _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if e_i in set(config.lr_schedule):
+            state = set_lr_mult(state, config.lr_mult)
+
+        avg_loss = avg_loss_nl = 0.0
+        count = 0
+        for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
+            state, loss, loss_nl = step(state, base, key)
+            loss, loss_nl = float(loss), float(loss_nl)
+            if not np.isfinite(loss):
+                _log(f"Loss is NaN/inf ({loss}). Exiting.")
+                sys.exit(1)
+            avg_loss += loss
+            avg_loss_nl += loss_nl
+            count += 1
+            if config.test_code and b_i >= 1:
+                break
+        history["epoch_loss_head_B"].append(avg_loss / count)
+        history["epoch_loss_no_lamb_head_B"].append(avg_loss_nl / count)
+
+        apply_fn = make_eval_apply(net, state, config, head=None)
+        is_best, _ = cluster_eval(config, apply_fn, map_assign, map_test,
+                                  history=history["eval"])
+        _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
+             f"loss {avg_loss / count:.5f}")
+        _save_plots(config, history)
+        if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
+            ckpt.save_checkpoint(config, state, history, "latest",
+                                 last_epoch=e_i)
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=e_i)
+        if config.test_code:
+            break
+
+    return state, history
+
+
+def _select_sub_head_on_loss(config, net, state, pipe_b, lamb):
+    """Reference get_subhead_using_loss over head-B dataloaders."""
+    apply_raw = make_apply_fn(net, head="B", sobel=config.sobel,
+                              include_rgb=config.include_rgb)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def pairs():
+        for imgs, imgs_tf in pipe_b.epoch(0, augmented=True):
+            yield apply_raw(variables, imgs), apply_raw(variables, imgs_tf)
+
+    return get_subhead_using_loss(config, pairs(), lamb=lamb)

@@ -1,0 +1,223 @@
+"""Experiment configuration.
+
+Dataclass equivalents of the reference's argparse namespaces, with the same
+flag names (SURVEY.md §5.6; cluster_sobel_twohead.py:32-133,
+segmentation_twohead.py:35-122) plus TPU-specific fields (mesh size, joint
+mode, model dtype). Derived fields the reference mutates onto the namespace
+are computed in ``finalize()``.
+"""
+
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class ClusterConfig:
+    # reference flags (cluster scripts)
+    model_ind: int = 0
+    arch: str = "ClusterNet6cTwoHead"
+    opt: str = "Adam"
+    mode: str = "IID"  # IID | IID+
+    dataset: str = "MNIST"
+    dataset_root: str = ""
+    gt_k: int = 10
+    output_k: Optional[int] = None  # single-head scripts
+    output_k_A: int = 50
+    output_k_B: int = 10
+    lamb: float = 1.0
+    lamb_A: float = 1.0
+    lamb_B: float = 1.0
+    lr: float = 1e-4
+    lr_schedule: Tuple[int, ...] = ()
+    lr_mult: float = 0.1
+    num_epochs: int = 1000
+    batch_sz: int = 240
+    num_dataloaders: int = 3
+    num_sub_heads: int = 5
+    out_root: str = "out"
+    restart: bool = False
+    restart_from_best: bool = False
+    test_code: bool = False
+    save_freq: int = 10
+    double_eval: bool = False
+    head_A_first: bool = False
+    head_A_epochs: int = 1
+    head_B_epochs: int = 1
+    batchnorm_track: bool = False
+    select_sub_head_on_loss: bool = False
+    save_progression: bool = False
+    # transforms (sobel path)
+    include_rgb: bool = False
+    demean: bool = False
+    per_img_demean: bool = False
+    data_mean: Tuple[float, ...] = ()
+    data_std: Tuple[float, ...] = ()
+    crop_orig: bool = False
+    rand_crop_sz: int = 84
+    input_sz: int = 96
+    fluid_warp: bool = False
+    rand_crop_szs_tf: Tuple[int, ...] = ()
+    rot_val: float = 0.0
+    cutout: bool = False
+    cutout_p: float = 0.5
+    cutout_max_box: float = 0.5
+    # transforms (greyscale path)
+    crop_other: bool = False
+    tf1_crop: str = "random"
+    tf1_crop_sz: int = 20
+    tf2_crop: str = "random"
+    tf2_crop_szs: Tuple[int, ...] = (16, 20, 24)
+    tf3_crop_diff: bool = False
+    tf3_crop_sz: int = 0
+    always_rot: bool = False
+    no_jitter: bool = False
+    no_flip: bool = False
+    # STL10
+    mix_train: bool = False
+    stl_leave_out_unlabelled: bool = False
+    # TPU-native additions
+    n_devices: Optional[int] = None  # None = all visible
+    joint_mode: str = "global"  # global | parity
+    model_dtype: str = "float32"  # float32 | bfloat16
+    bn_sync: bool = False  # cross-shard BN stat sync
+    seed: int = 0
+    eval_batch_sz: Optional[int] = None
+
+    # derived (finalize)
+    twohead: bool = True
+    sobel: bool = True
+    in_channels: int = 0
+    dataloader_batch_sz: int = 0
+    eval_mode: str = "hung"
+    bn_axis_name: Optional[str] = None
+
+    def finalize(self, twohead=True, sobel=True):
+        """Derived fields (reference cluster_sobel_twohead.py:113-133)."""
+        self.twohead = twohead
+        self.sobel = sobel
+        if self.output_k is None:
+            self.output_k = self.output_k_B
+        if sobel:
+            self.in_channels = 5 if self.include_rgb else 2
+        else:
+            self.in_channels = 1
+        self.dataloader_batch_sz = self.batch_sz // self.num_dataloaders
+        self.eval_mode = "hung" if self.mode == "IID" else "orig"
+        if self.mode == "IID+":
+            # single head scripts use orig (many-to-one) eval
+            self.eval_mode = "orig"
+        self.bn_axis_name = "data" if self.bn_sync else None
+        return self
+
+
+@dataclasses.dataclass
+class SegConfig:
+    # reference flags (segmentation scripts, segmentation_twohead.py:35-122)
+    model_ind: int = 0
+    arch: str = "SegmentationNet10aTwoHead"
+    opt: str = "Adam"
+    mode: str = "IID"
+    dataset: str = "Potsdam"
+    dataset_root: str = ""
+    use_coarse_labels: bool = False
+    fine_to_coarse_dict: str = ""
+    include_things_labels: bool = False
+    incl_animal_things: bool = False
+    coco_164k_curated_version: int = -1
+    gt_k: int = 3
+    output_k: Optional[int] = None
+    output_k_A: int = 15
+    output_k_B: int = 3
+    lamb: float = 1.0
+    lamb_A: float = 1.0
+    lamb_B: float = 1.5
+    lr: float = 1e-4
+    lr_schedule: Tuple[int, ...] = ()
+    lr_mult: float = 0.1
+    use_uncollapsed_loss: bool = False
+    num_epochs: int = 1000
+    batch_sz: int = 120
+    num_dataloaders: int = 1
+    num_sub_heads: int = 1
+    out_root: str = "out"
+    restart: bool = False
+    restart_from_best: bool = False
+    test_code: bool = False
+    save_freq: int = 10
+    batchnorm_track: bool = False
+    head_A_first: bool = False
+    head_A_epochs: int = 1
+    head_B_epochs: int = 1
+    select_sub_head_on_loss: bool = False
+    # data
+    no_sobel: bool = False
+    include_rgb: bool = False
+    pre_scale_all: bool = False
+    pre_scale_factor: float = 0.5
+    input_sz: int = 161
+    use_random_scale: bool = False
+    scale_min: float = 0.6
+    scale_max: float = 1.4
+    jitter_brightness: float = 0.4
+    jitter_contrast: float = 0.4
+    jitter_saturation: float = 0.4
+    jitter_hue: float = 0.125
+    flip_p: float = 0.5
+    no_pre_eval: bool = False
+    # loss geometry
+    half_T_side_dense: int = 0
+    half_T_side_sparse_min: int = 0
+    half_T_side_sparse_max: int = 0
+    # TPU-native additions
+    n_devices: Optional[int] = None
+    joint_mode: str = "global"
+    model_dtype: str = "float32"
+    bn_sync: bool = False
+    seed: int = 0
+    eval_batch_sz: Optional[int] = None
+
+    # derived
+    twohead: bool = True
+    sobel: bool = True
+    using_IR: bool = False
+    in_channels: int = 0
+    dataloader_batch_sz: int = 0
+    eval_mode: str = "hung"
+    bn_axis_name: Optional[str] = None
+
+    def finalize(self, twohead=True):
+        """Derived fields (reference utils/segmentation/general.py:1-20)."""
+        self.twohead = twohead
+        if self.output_k is None:
+            self.output_k = self.output_k_B
+        self.sobel = not self.no_sobel
+        self.using_IR = "Potsdam" in self.dataset
+        if self.sobel:
+            self.in_channels = 2  # dx, dy
+            if self.include_rgb:
+                self.in_channels += 3
+        else:
+            self.in_channels = 3 if self.include_rgb else 1
+        if self.using_IR:
+            self.in_channels += 1
+        self.dataloader_batch_sz = self.batch_sz // self.num_dataloaders
+        self.eval_mode = "hung" if self.mode == "IID" else "orig"
+        self.bn_axis_name = "data" if self.bn_sync else None
+        return self
+
+
+def config_to_str(config):
+    """Reference ``config_to_str`` (utils/cluster/general.py:12-17)."""
+    attrs = dataclasses.asdict(config) if dataclasses.is_dataclass(config) \
+        else vars(config)
+    lines = ["Config: -----"]
+    lines += [f"{k}: {v}" for k, v in attrs.items()]
+    lines.append("----------")
+    return "\n".join(lines)
+
+
+def save_config_json(config, path):
+    d = dataclasses.asdict(config)
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1, default=str)

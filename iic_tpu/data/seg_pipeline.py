@@ -1,0 +1,233 @@
+"""Segmentation input pipeline.
+
+The reference does the entire paired augmentation per-image on GPU inside
+``__getitem__`` with num_workers forced to 0 (SURVEY.md §5.2). Here the
+host does only the variable-shape geometry (decode, prescale, random scale,
+crop — see seg_datasets), and one jitted batched program does the rest on
+device: colour jitter of img2, grey/sobel channel prep, random RSS affine
+of img2 (recording affine2_to_1), random flip (negating the top affine row
+— reference cocostuff.py:203-216), producing the training 4-tuple
+(img1, img2, affine2_to_1, mask) the loss consumes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iic_tpu.data.seg_datasets import build_seg_dataset
+from iic_tpu.data.seg_transforms import seg_random_affine
+from iic_tpu.data.transforms import append_grey, color_jitter
+
+
+def make_seg_augment(config):
+    """Batched jittable device augmentation:
+    (b, sz, sz, C_raw) uint8 + key -> (img1, img2, affine2_to_1) with imgs
+    NCHW float32. C_raw = 3 (rgb) or 4 (rgb + ir, Potsdam)."""
+    using_ir = config.using_IR
+    sobel = config.sobel
+    include_rgb = config.include_rgb
+    flip_p = config.flip_p
+    use_random_affine = getattr(config, "use_random_affine", False)
+    aff = dict(
+        min_rot=getattr(config, "aff_min_rot", -30.0),
+        max_rot=getattr(config, "aff_max_rot", 30.0),
+        min_shear=getattr(config, "aff_min_shear", -10.0),
+        max_shear=getattr(config, "aff_max_shear", 10.0),
+        min_scale=getattr(config, "aff_min_scale", 0.8),
+        max_scale=getattr(config, "aff_max_scale", 1.2))
+    jb = config.jitter_brightness
+    jc = config.jitter_contrast
+    js = config.jitter_saturation
+    jh = config.jitter_hue
+
+    def one(img_u8, key):
+        img = img_u8.astype(jnp.float32) / 255.0
+        if using_ir:
+            rgb, ir = img[..., :3], img[..., 3:4]
+        else:
+            rgb, ir = img, None
+        ks = jax.random.split(key, 4)
+        img1 = rgb
+        img2 = color_jitter(rgb, ks[0], brightness=jb, contrast=jc,
+                            saturation=js, hue=jh)
+        if sobel:
+            img1 = append_grey(img1, include_rgb)
+            img2 = append_grey(img2, include_rgb)
+        elif not include_rgb:
+            from iic_tpu.data.transforms import to_grey
+            img1, img2 = to_grey(img1), to_grey(img2)
+        if ir is not None:
+            img1 = jnp.concatenate([img1, ir], axis=-1)
+            img2 = jnp.concatenate([img2, ir], axis=-1)
+
+        img1 = jnp.transpose(img1, (2, 0, 1))
+        img2 = jnp.transpose(img2, (2, 0, 1))
+
+        if use_random_affine:
+            img2, aff2to1 = seg_random_affine(img2, ks[1], **aff)
+        else:
+            aff2to1 = jnp.array([[1.0, 0, 0], [0, 1.0, 0]], jnp.float32)
+
+        # reference flips when rand() > flip_p (cocostuff.py:212)
+        do_flip = jax.random.uniform(ks[2]) > flip_p
+        img2 = jnp.where(do_flip, img2[:, :, ::-1], img2)
+        aff2to1 = jnp.where(
+            do_flip, aff2to1 * jnp.array([[-1.0], [1.0]]), aff2to1)
+        return img1, img2, aff2to1
+
+    def augment(imgs_u8, masks_u8, key):
+        b = imgs_u8.shape[0]
+        keys = jax.random.split(key, b)
+        img1, img2, aff2to1 = jax.vmap(one)(imgs_u8, keys)
+        return img1, img2, aff2to1, masks_u8.astype(jnp.float32)
+
+    return augment
+
+
+class SegTrainPipeline:
+    """Yields (imgs_u8, masks_u8, key) host-prepped batches + exposes
+    ``augment`` for fusion into the train step. Replaces the reference's
+    paired seg dataloaders (code/utils/segmentation/data.py:85-126);
+    shuffles per epoch when num_dataloaders == 1 (the reference's
+    ``do_shuffle``), keeps deterministic sequential order otherwise."""
+
+    def __init__(self, config, partitions, seed=0):
+        self.config = config
+        self.seed = seed
+        self.datasets = [build_seg_dataset(config, p, "train")
+                         for p in partitions]
+        self.lengths = [len(d) for d in self.datasets]
+        self.total = sum(self.lengths)
+        self.batch_sz = config.dataloader_batch_sz
+        self.num_batches = int(np.ceil(self.total / self.batch_sz))
+        self.shuffle = config.num_dataloaders == 1
+        self.augment = make_seg_augment(config)
+        self._augment_jit = jax.jit(self.augment)
+
+    def _sample(self, global_idx, rng):
+        for d, n in zip(self.datasets, self.lengths):
+            if global_idx < n:
+                return d.get_train(global_idx, rng)
+            global_idx -= n
+        raise IndexError
+
+    def epoch(self, epoch_idx, augmented=False):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch_idx]))
+        order = (rng.permutation(self.total) if self.shuffle
+                 else np.arange(self.total))
+        root = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919), epoch_idx)
+        for b_i in range(self.num_batches):
+            idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
+            samples = [self._sample(int(i), rng) for i in idxs]
+            imgs = np.stack([s[0] for s in samples])
+            masks = np.stack([s[1] for s in samples])
+            key = jax.random.fold_in(root, b_i)
+            if augmented:
+                yield self._augment_jit(jnp.asarray(imgs),
+                                        jnp.asarray(masks), key)
+            else:
+                yield jnp.asarray(imgs), jnp.asarray(masks), key
+
+    def __len__(self):
+        return self.num_batches
+
+
+class SegMappingLoader:
+    """Eval loader: yields (imgs NCHW float32 with sobel-ready channels,
+    label (b, sz, sz) int32, mask (b, sz, sz)). Mirrors the reference's
+    mapping loaders over purpose="test" datasets
+    (code/utils/segmentation/data.py:129-149)."""
+
+    def __init__(self, config, partitions, batch_sz=None):
+        self.config = config
+        self.batch_sz = batch_sz or config.eval_batch_sz or config.batch_sz
+        self.datasets = [build_seg_dataset(config, p, "test")
+                         for p in partitions]
+        self.lengths = [len(d) for d in self.datasets]
+        self.total = sum(self.lengths)
+        sobel = config.sobel
+        include_rgb = config.include_rgb
+        using_ir = config.using_IR
+
+        def transform(imgs_u8):
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            if using_ir:
+                rgb, ir = imgs[..., :3], imgs[..., 3:4]
+            else:
+                rgb, ir = imgs, None
+            if sobel:
+                out = jax.vmap(lambda im: append_grey(im, include_rgb))(rgb)
+            elif not include_rgb:
+                from iic_tpu.data.transforms import to_grey
+                out = jax.vmap(to_grey)(rgb)
+            else:
+                out = rgb
+            if ir is not None:
+                out = jnp.concatenate([out, ir], axis=-1)
+            return jnp.transpose(out, (0, 3, 1, 2))
+
+        self._transform_jit = jax.jit(transform)
+
+    def _get(self, global_idx):
+        for d, n in zip(self.datasets, self.lengths):
+            if global_idx < n:
+                return d.get_test(global_idx)
+            global_idx -= n
+        raise IndexError
+
+    def __iter__(self):
+        for start in range(0, self.total, self.batch_sz):
+            samples = [self._get(i)
+                       for i in range(start,
+                                      min(start + self.batch_sz,
+                                          self.total))]
+            imgs = np.stack([s[0] for s in samples])
+            labels = np.stack([s[1] for s in samples])
+            masks = np.stack([s[2] for s in samples])
+            yield self._transform_jit(jnp.asarray(imgs)), labels, masks
+
+    def __len__(self):
+        return int(np.ceil(self.total / self.batch_sz))
+
+
+def segmentation_create_dataloaders(config, seed=0):
+    """Partition tables + loaders (reference code/utils/segmentation/
+    data.py:12-56). Returns (train_pipeline, mapping_assignment_loader,
+    mapping_test_loader)."""
+    ds = config.dataset
+    if config.mode == "IID+":
+        if "Coco10k" in ds:
+            train, map_a, map_t = ["train"], ["train"], ["test"]
+        elif "Coco164k" in ds:
+            train = ["train2017"]
+            map_a, map_t = ["train2017"], ["val2017"]
+        elif ds == "Potsdam":
+            train = ["unlabelled_train", "labelled_train"]
+            map_a, map_t = ["labelled_train"], ["labelled_test"]
+        elif ds.startswith("SyntheticSeg"):
+            train, map_a, map_t = ["train"], ["train"], ["test"]
+        else:
+            raise NotImplementedError(ds)
+    elif config.mode == "IID":
+        if "Coco10k" in ds:
+            train = map_a = map_t = ["all"]
+        elif "Coco164k" in ds:
+            train = map_a = map_t = ["train2017", "val2017"]
+        elif ds == "Potsdam":
+            train = ["unlabelled_train", "labelled_train", "labelled_test"]
+            map_a = map_t = ["labelled_train", "labelled_test"]
+        elif ds.startswith("SyntheticSeg"):
+            train = map_a = map_t = ["train"]
+        else:
+            raise NotImplementedError(ds)
+    else:
+        raise ValueError(config.mode)
+
+    config.train_partitions = train
+    config.mapping_assignment_partitions = map_a
+    config.mapping_test_partitions = map_t
+    return (SegTrainPipeline(config, train, seed=seed),
+            SegMappingLoader(config, map_a),
+            SegMappingLoader(config, map_t))

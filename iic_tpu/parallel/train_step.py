@@ -135,23 +135,29 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
 def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         half_T_side_sparse_min, half_T_side_sparse_max,
                         sobel=False, include_rgb=False, using_IR=False,
-                        use_uncollapsed_loss=False,
+                        use_uncollapsed_loss=False, augment=None,
                         mesh=None, axis_name="data", joint_mode="global"):
     """Build the jitted segmentation train step for one head.
 
-    step(state, (img1, img2, affine2_to_1, mask), key) ->
-        (state, loss, loss_no_lamb)
+    Without ``augment``: step(state, (img1, img2, affine2_to_1, mask), key).
+    With ``augment`` (fused pipeline): step(state, (imgs_u8, masks_u8), key)
+    and the paired augmentation runs inside the same jitted program.
 
-    Mirrors segmentation_twohead.py:262-357. The batch tuple layout matches
-    the reference's dataloader output.
+    Mirrors segmentation_twohead.py:262-357.
     """
     loss_impl = (IID_segmentation_loss_uncollapsed if use_uncollapsed_loss
                  else IID_segmentation_loss)
 
     def step_fn(state, batch, key, axis):
-        img1, img2, affine2_to_1, mask = batch
         if axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        if augment is not None:
+            imgs_u8, masks_u8 = batch
+            key, k_aug = jax.random.split(key)
+            img1, img2, affine2_to_1, mask = augment(imgs_u8, masks_u8,
+                                                     k_aug)
+        else:
+            img1, img2, affine2_to_1, mask = batch
         if sobel:
             img1 = sobel_process(img1, include_rgb, using_IR=using_IR)
             img2 = sobel_process(img2, include_rgb, using_IR=using_IR)
@@ -190,16 +196,18 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, loss, loss_nl
 
-    return _wrap(step_fn, mesh, axis_name, batch_is_tuple=True)
+    return _wrap(step_fn, mesh, axis_name,
+                 batch_arity=2 if augment is not None else 4)
 
 
-def _wrap(step_fn, mesh, axis_name, batch_is_tuple=False):
+def _wrap(step_fn, mesh, axis_name, batch_arity=0):
     """jit the step, inserting shard_map when a mesh is given."""
     if mesh is None:
         fn = partial(step_fn, axis=None)
         return jax.jit(lambda state, batch, key: fn(state, batch, key))
 
-    batch_spec = (P(axis_name),) * 4 if batch_is_tuple else P(axis_name)
+    batch_spec = ((P(axis_name),) * batch_arity if batch_arity
+                  else P(axis_name))
     sharded = jax.shard_map(
         partial(step_fn, axis=axis_name),
         mesh=mesh,

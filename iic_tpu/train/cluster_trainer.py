@@ -71,7 +71,8 @@ def _save_plots(config, history):
     except Exception:
         return
     ev = history["eval"]
-    n = 6 + 2 * int(config.double_eval)
+    double_eval = getattr(config, "double_eval", False)
+    n = 6 + 2 * int(double_eval)
     fig, axarr = plt.subplots(n, sharex=False, figsize=(20, 20))
     panels = [
         ("acc", ev.epoch_acc),
@@ -81,7 +82,7 @@ def _save_plots(config, history):
         ("loss B", history["epoch_loss_head_B"]),
         ("loss no lamb B", history["epoch_loss_no_lamb_head_B"]),
     ]
-    if config.double_eval:
+    if double_eval:
         panels += [("double eval acc", ev.double_eval_acc),
                    ("double eval avg subhead acc",
                     ev.double_eval_avg_subhead_acc)]

@@ -1,0 +1,240 @@
+"""Segmentation trainers.
+
+Epoch/head/batch loops of the reference segmentation scripts
+(code/scripts/segmentation/segmentation_twohead.py:162-442 and
+segmentation.py) on the fused TPU seg train steps: head alternation, loss
+selected by use_uncollapsed_loss, NaN watchdog, per-epoch masked Hungarian
+eval, latest/best checkpoints, restart, --test_code smoke mode, plots.
+"""
+
+import dataclasses
+import sys
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iic_tpu import models
+from iic_tpu.data.seg_pipeline import (
+    make_seg_augment, segmentation_create_dataloaders)
+from iic_tpu.evals import EvalHistory
+from iic_tpu.evals.segmentation_eval import segmentation_eval
+from iic_tpu.parallel import (
+    create_train_state, make_mesh, make_seg_apply_fn, make_seg_train_step)
+from iic_tpu.train import checkpoint as ckpt
+from iic_tpu.train.cluster_trainer import (
+    _make_history, _save_plots, _truncate_history, make_optimizer,
+    set_lr_mult)
+from iic_tpu.train.config import config_to_str
+
+
+def _log(msg):
+    print(msg)
+    sys.stdout.flush()
+
+
+def build_seg_net_and_state(config):
+    net = models.build(config.arch, config)
+    dummy = jnp.zeros((2, config.in_channels, config.input_sz,
+                       config.input_sz), jnp.float32)
+    heads = ("A", "B") if config.twohead else None
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(config.seed), dummy, heads=heads)
+    tx = make_optimizer(config)
+    state = create_train_state(variables, tx)
+    return net, tx, state
+
+
+def make_seg_eval_apply(net, state, config, head="B"):
+    apply_raw = make_seg_apply_fn(net, head=head, sobel=config.sobel,
+                                  include_rgb=config.include_rgb,
+                                  using_IR=config.using_IR)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return lambda imgs: apply_raw(variables, imgs)
+
+
+def train_segmentation_twohead(config):
+    """Two-head unsupervised segmentation (IIC). Returns (state, history)."""
+    _log(config_to_str(config))
+
+    pipe, map_assign, map_test = segmentation_create_dataloaders(
+        config, seed=config.seed)
+    net, tx, state = build_seg_net_and_state(config)
+
+    mesh = None
+    if config.n_devices is not None and config.n_devices > 1:
+        mesh = make_mesh(config.n_devices)
+
+    common = dict(
+        half_T_side_dense=config.half_T_side_dense,
+        half_T_side_sparse_min=config.half_T_side_sparse_min,
+        half_T_side_sparse_max=config.half_T_side_sparse_max,
+        sobel=config.sobel, include_rgb=config.include_rgb,
+        using_IR=config.using_IR,
+        use_uncollapsed_loss=config.use_uncollapsed_loss,
+        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
+    steps = {
+        "A": make_seg_train_step(net, tx, lamb=config.lamb_A, head="A",
+                                 **common),
+        "B": make_seg_train_step(net, tx, lamb=config.lamb_B, head="B",
+                                 **common),
+    }
+
+    heads = ["A", "B"] if config.head_A_first else ["B", "A"]
+    head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
+
+    history = _make_history()
+    next_epoch = 1
+    if config.restart:
+        state, history, last_epoch = ckpt.load_checkpoint(
+            config, state,
+            name="best" if config.restart_from_best else "latest")
+        next_epoch = (int(np.argmax(history["eval"].epoch_acc)) + 1
+                      if config.restart_from_best else last_epoch + 1)
+        _truncate_history(history, next_epoch)
+        _log(f"restarting from epoch {next_epoch}")
+    else:
+        if not getattr(config, "no_pre_eval", False):
+            segmentation_eval(
+                config, make_seg_eval_apply(net, state, config),
+                map_assign, map_test,
+                history=history["eval"])
+            _log(f"Pre: {history['eval'].epoch_stats[-1]}")
+        else:
+            history["eval"].epoch_acc.append(0.0)
+            history["eval"].epoch_avg_subhead_acc.append(0.0)
+            history["eval"].epoch_stats.append({})
+
+    for e_i in range(next_epoch, config.num_epochs):
+        _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if e_i in set(config.lr_schedule):
+            state = set_lr_mult(state, config.lr_mult)
+
+        for head in heads:
+            avg_loss = avg_loss_nl = 0.0
+            count = 0
+            for _ in range(head_epochs[head]):
+                for b_i, (imgs, masks, key) in enumerate(
+                        pipe.epoch(e_i, augmented=False)):
+                    state, loss, loss_nl = steps[head](
+                        state, (imgs, masks), key)
+                    loss, loss_nl = float(loss), float(loss_nl)
+                    if not np.isfinite(loss):
+                        _log(f"Loss is NaN/inf ({loss}). Exiting.")
+                        sys.exit(1)
+                    avg_loss += loss
+                    avg_loss_nl += loss_nl
+                    count += 1
+                    if b_i % 100 == 0:
+                        _log(f"  head {head} batch {b_i} loss {loss:.5f} "
+                             f"{datetime.now()}")
+                    if config.test_code and b_i >= 1:
+                        break
+            history[f"epoch_loss_head_{head}"].append(avg_loss / count)
+            history[f"epoch_loss_no_lamb_head_{head}"].append(
+                avg_loss_nl / count)
+
+        is_best = segmentation_eval(
+            config, make_seg_eval_apply(net, state, config),
+            map_assign, map_test,
+            history=history["eval"])
+        _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
+             f"loss B {history['epoch_loss_head_B'][-1]:.5f}")
+
+        _save_plots(config, history)
+        if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
+            ckpt.save_checkpoint(config, state, history, "latest",
+                                 last_epoch=e_i)
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=e_i)
+        if config.test_code:
+            break
+
+    return state, history
+
+
+def train_segmentation_single(config):
+    """Single-head IID+ segmentation (overclustering).
+    Reference: code/scripts/segmentation/segmentation.py."""
+    _log(config_to_str(config))
+
+    pipe, map_assign, map_test = segmentation_create_dataloaders(
+        config, seed=config.seed)
+    net, tx, state = build_seg_net_and_state(config)
+
+    mesh = None
+    if config.n_devices is not None and config.n_devices > 1:
+        mesh = make_mesh(config.n_devices)
+
+    step = make_seg_train_step(
+        net, tx, lamb=config.lamb, head=None,
+        half_T_side_dense=config.half_T_side_dense,
+        half_T_side_sparse_min=config.half_T_side_sparse_min,
+        half_T_side_sparse_max=config.half_T_side_sparse_max,
+        sobel=config.sobel, include_rgb=config.include_rgb,
+        using_IR=config.using_IR,
+        use_uncollapsed_loss=config.use_uncollapsed_loss,
+        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
+
+    history = _make_history()
+    next_epoch = 1
+    if config.restart:
+        state, history, last_epoch = ckpt.load_checkpoint(
+            config, state,
+            name="best" if config.restart_from_best else "latest")
+        next_epoch = (int(np.argmax(history["eval"].epoch_acc)) + 1
+                      if config.restart_from_best else last_epoch + 1)
+        _truncate_history(history, next_epoch)
+    else:
+        if not getattr(config, "no_pre_eval", False):
+            segmentation_eval(
+                config, make_seg_eval_apply(net, state, config, head=None),
+                map_assign, map_test,
+                history=history["eval"])
+            _log(f"Pre: {history['eval'].epoch_stats[-1]}")
+        else:
+            history["eval"].epoch_acc.append(0.0)
+            history["eval"].epoch_avg_subhead_acc.append(0.0)
+            history["eval"].epoch_stats.append({})
+
+    for e_i in range(next_epoch, config.num_epochs):
+        _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if e_i in set(config.lr_schedule):
+            state = set_lr_mult(state, config.lr_mult)
+
+        avg_loss = avg_loss_nl = 0.0
+        count = 0
+        for b_i, (imgs, masks, key) in enumerate(
+                pipe.epoch(e_i, augmented=False)):
+            state, loss, loss_nl = step(state, (imgs, masks), key)
+            loss, loss_nl = float(loss), float(loss_nl)
+            if not np.isfinite(loss):
+                _log(f"Loss is NaN/inf ({loss}). Exiting.")
+                sys.exit(1)
+            avg_loss += loss
+            avg_loss_nl += loss_nl
+            count += 1
+            if config.test_code and b_i >= 1:
+                break
+        history["epoch_loss_head_B"].append(avg_loss / count)
+        history["epoch_loss_no_lamb_head_B"].append(avg_loss_nl / count)
+
+        is_best = segmentation_eval(
+            config, make_seg_eval_apply(net, state, config, head=None),
+            map_assign, map_test,
+            history=history["eval"])
+        _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
+             f"loss {avg_loss / count:.5f}")
+        _save_plots(config, history)
+        if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
+            ckpt.save_checkpoint(config, state, history, "latest",
+                                 last_epoch=e_i)
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=e_i)
+        if config.test_code:
+            break
+
+    return state, history

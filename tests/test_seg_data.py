@@ -1,0 +1,152 @@
+"""Segmentation data layer tests: host geometry parity, device augmentation
+structure (affine inverse correctness, flip bookkeeping), pipeline shapes,
+label filtering, end-to-end seg trainer smoke."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iic_tpu.data.seg_transforms import (
+    pad_and_or_crop, pad_if_too_small, seg_random_affine)
+from iic_tpu.data.seg_pipeline import (
+    SegMappingLoader, SegTrainPipeline, make_seg_augment,
+    segmentation_create_dataloaders)
+from iic_tpu.ops.affine import perform_affine_tf
+
+
+def test_pad_if_too_small_centres():
+    img = np.ones((4, 6), np.float32)
+    out = pad_if_too_small(img, 8)
+    assert out.shape == (8, 8)
+    assert out.sum() == img.sum()
+    # centred: rows 2..5, cols 1..6
+    assert out[2:6, 1:7].sum() == img.sum()
+
+
+def test_pad_and_or_crop_modes():
+    img = np.arange(100, dtype=np.float32).reshape(10, 10)
+    out, (hc, wc) = pad_and_or_crop(img, 4, mode="centre")
+    assert out.shape == (4, 4)
+    assert hc == 5 and wc == 5
+    out2, _ = pad_and_or_crop(img, 4, mode="fixed", coords=(hc, wc))
+    np.testing.assert_array_equal(out, out2)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        out3, (h3, w3) = pad_and_or_crop(img, 4, mode="random", rng=rng)
+        assert out3.shape == (4, 4)
+        # crop coords map back into the original image
+        np.testing.assert_array_equal(
+            out3, img[h3 - 2:h3 + 2, w3 - 2:w3 + 2])
+
+
+def test_seg_random_affine_inverse_roundtrip():
+    """affine2_to_1 must invert the warp applied to img2 (interior)."""
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    img = np.stack([np.sin(4 * xx) * np.cos(3 * yy)])  # (1, 64, 64) smooth
+    img_j = jnp.asarray(img)
+
+    warped, aff2to1 = seg_random_affine(
+        img_j, jax.random.PRNGKey(3), min_rot=-15, max_rot=15,
+        min_shear=-5, max_shear=5, min_scale=0.95, max_scale=1.05)
+    restored = perform_affine_tf(warped[None], aff2to1[None])[0]
+    interior = (slice(None), slice(16, 48), slice(16, 48))
+    np.testing.assert_allclose(np.asarray(restored)[interior],
+                               img[interior], atol=0.05)
+
+
+def _seg_cfg(**kw):
+    cfg = SimpleNamespace(
+        dataset="SyntheticSeg3x48x32", dataset_root="", mode="IID",
+        batch_sz=8, num_dataloaders=1, input_sz=40, gt_k=3,
+        output_k=3, output_k_A=6, output_k_B=3, num_sub_heads=1,
+        use_coarse_labels=False, pre_scale_all=False, pre_scale_factor=0.5,
+        use_random_scale=False, scale_min=0.8, scale_max=1.2,
+        jitter_brightness=0.4, jitter_contrast=0.4, jitter_saturation=0.4,
+        jitter_hue=0.125, flip_p=0.5, use_random_affine=True,
+        aff_min_rot=-10.0, aff_max_rot=10.0, aff_min_shear=-5.0,
+        aff_max_shear=5.0, aff_min_scale=0.9, aff_max_scale=1.1,
+        sobel=True, no_sobel=False, include_rgb=True, using_IR=False,
+        in_channels=5, dataloader_batch_sz=8, eval_mode="hung",
+        eval_batch_sz=None, batchnorm_track=True, num_epochs=2,
+        half_T_side_dense=2, half_T_side_sparse_min=0,
+        half_T_side_sparse_max=0)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_seg_pipeline_shapes_and_determinism():
+    cfg = _seg_cfg()
+    pipe, map_a, map_t = segmentation_create_dataloaders(cfg)
+    img1, img2, aff, mask = next(pipe.epoch(0, augmented=True))
+    assert img1.shape == (8, 4, 40, 40)  # rgb + grey (pre-sobel)
+    assert img2.shape == (8, 4, 40, 40)
+    assert aff.shape == (8, 2, 3)
+    assert mask.shape == (8, 40, 40)
+    # determinism per epoch
+    a1 = next(pipe.epoch(1, augmented=True))
+    a2 = next(pipe.epoch(1, augmented=True))
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    imgs, labels, masks = next(iter(map_a))
+    assert imgs.shape[1:] == (4, 40, 40)
+    assert labels.shape[1:] == (40, 40)
+    assert labels.max() < 3
+    assert masks.min() >= 0
+
+
+def test_seg_pipeline_flip_negates_affine_row():
+    cfg = _seg_cfg(use_random_affine=False)
+    augment = make_seg_augment(cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (16, 40, 40, 3),
+                                          dtype=np.uint8))
+    masks = jnp.ones((16, 40, 40), jnp.uint8)
+    _, img2, aff, _ = jax.jit(augment)(imgs, masks, jax.random.PRNGKey(0))
+    aff = np.asarray(aff)
+    # identity affine, so flipped samples have top row [-1, 0, 0]
+    flipped = aff[:, 0, 0] < 0
+    assert 0 < flipped.sum() < 16  # both outcomes occur
+    np.testing.assert_allclose(aff[flipped][:, 0], [[-1, 0, 0]] *
+                               int(flipped.sum()), atol=1e-6)
+    np.testing.assert_allclose(aff[~flipped][:, 0], [[1, 0, 0]] *
+                               int((~flipped).sum()), atol=1e-6)
+
+
+def test_seg_trainer_smoke(tmp_path):
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_trainer import train_segmentation_twohead
+    cfg = SegConfig(
+        model_ind=3, arch="SegmentationNet10aTwoHead", mode="IID",
+        dataset="SyntheticSeg3x48x16", dataset_root="", gt_k=3,
+        output_k_A=6, output_k_B=3, num_sub_heads=1, lr=1e-3,
+        num_epochs=3, batch_sz=8, num_dataloaders=1,
+        out_root=str(tmp_path), input_sz=40, half_T_side_dense=1,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+        include_rgb=True, batchnorm_track=True, test_code=True,
+        save_freq=1, use_uncollapsed_loss=False)
+    cfg.finalize(twohead=True)
+    assert cfg.in_channels == 5  # rgb + dx + dy
+    state, history = train_segmentation_twohead(cfg)
+    assert len(history["eval"].epoch_acc) == 2
+    assert np.isfinite(history["epoch_loss_head_B"][0])
+
+
+def test_potsdam_ir_channel_layout():
+    """Potsdam: rgb jittered, ir passed through un-jittered, appended last
+    (reference potsdam.py:146-178)."""
+    cfg = _seg_cfg(using_IR=True, include_rgb=True)
+    augment = make_seg_augment(cfg)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 255, (4, 40, 40, 4), dtype=np.uint8))
+    masks = jnp.ones((4, 40, 40), jnp.uint8)
+    img1, img2, aff, _ = jax.jit(augment)(imgs, masks,
+                                          jax.random.PRNGKey(0))
+    assert img1.shape == (4, 5, 40, 40)  # rgb + grey + ir
+    # ir channel of img1 unchanged from input
+    np.testing.assert_allclose(
+        np.asarray(img1)[:, 4], np.asarray(imgs)[..., 3] / 255.0,
+        atol=1e-6)

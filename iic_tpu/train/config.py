@@ -207,6 +207,36 @@ class SegConfig:
         return self
 
 
+@dataclasses.dataclass
+class SemisupConfig:
+    """Flags of code/scripts/semisup/IID_semisup_STL10.py:31-104."""
+    model_ind: int = 0
+    old_model_ind: int = 0
+    arch: str = "SupHead5"
+    head_lr: float = 1e-3
+    trunk_lr: float = 1e-4
+    num_epochs: int = 1000
+    new_batch_sz: int = -1  # -1: inherit old config's batch_sz
+    out_root: str = "out"
+    restart: bool = False
+    restart_new_model_ind: bool = False
+    new_model_ind: int = 0
+    penultimate_features: bool = False
+    random_affine: bool = False
+    affine_p: float = 0.5
+    cutout: bool = False
+    cutout_p: float = 0.5
+    cutout_max_box: float = 0.5
+    contiguous_sz: int = 10  # TenCrop block size
+    lr_schedule: Tuple[int, ...] = ()
+    lr_mult: float = 0.5
+    test_code: bool = False
+    seed: int = 0
+
+    def finalize(self):
+        return self
+
+
 def config_to_str(config):
     """Reference ``config_to_str`` (utils/cluster/general.py:12-17)."""
     attrs = dataclasses.asdict(config) if dataclasses.is_dataclass(config) \

@@ -1,0 +1,19 @@
+"""CLI: KL-triplets baseline on colour datasets. Mirror of
+code/scripts/cluster/baselines/triplets_sobel.py."""
+
+from iic_tpu.cli._args import parse_cluster_args
+from iic_tpu.train.triplets_trainer import train_triplets
+
+
+def main(argv=None):
+    cfg = parse_cluster_args(argv, defaults={"mode": "IID"})
+    if cfg.output_k is None:
+        cfg.output_k = cfg.gt_k
+    cfg.finalize(twohead=False, sobel=True)
+    if cfg.arch.startswith("ClusterNet") and "Triplets" not in cfg.arch:
+        cfg.arch = "TripletsNet5g"
+    return train_triplets(cfg)
+
+
+if __name__ == "__main__":
+    main()

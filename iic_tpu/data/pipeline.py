@@ -111,12 +111,20 @@ class ClusterTrainPipeline:
 class MappingLoader:
     """tf3 (deterministic) eval loader: yields (imgs NCHW float32, labels).
     Mirrors ``_create_mapping_loader`` (code/utils/cluster/data.py:342-390).
-    """
+    ``truncate_pc`` keeps a random fixed fraction of the set — the
+    reference's TruncatedDataset used by the fewer-labels analysis
+    (code/datasets/clustering/truncated_dataset.py:5-20)."""
 
-    def __init__(self, config, partitions, batch_sz=None):
+    def __init__(self, config, partitions, batch_sz=None,
+                 truncate_pc=None, truncate_seed=0):
         self.config = config
         self.batch_sz = batch_sz or config.batch_sz
         self.images, self.labels = _load_partitions(config, partitions)
+        if truncate_pc is not None:
+            n = int(len(self.images) * truncate_pc)
+            rng = np.random.default_rng(truncate_seed)
+            idx = rng.permutation(len(self.images))[:n]
+            self.images, self.labels = self.images[idx], self.labels[idx]
 
         if _is_greyscale(config):
             _, _, tf3 = make_greyscale_pair_transforms(config)
@@ -179,6 +187,18 @@ def cluster_twohead_create_dataloaders(config, seed=0):
             ClusterTrainPipeline(config, train_b, seed=seed + 1),
             MappingLoader(config, map_a),
             MappingLoader(config, map_t))
+
+
+def create_basic_clustering_dataloaders(config, seed=0):
+    """The README-advertised one-function public API (reference
+    ``create_basic_clustering_dataloaders``, code/utils/cluster/
+    data.py:502-601): deterministic-seeded order over a user dataset
+    (there: ImageFolder + DeterministicRandomSampler(seed 0); here: any
+    dataset name the readers support, fixed seed), twohead-style loaders.
+
+    Returns (train_pipeline_head_A, train_pipeline_head_B,
+             mapping_assignment_loader, mapping_test_loader)."""
+    return cluster_twohead_create_dataloaders(config, seed=seed)
 
 
 def cluster_create_dataloaders(config, seed=0):

@@ -104,14 +104,79 @@ def grid_sample(data, grid):
     return out
 
 
-def perform_affine_tf(data, tf_matrices):
+def perform_affine_tf(data, tf_matrices, impl="matmul"):
     """Mirror of reference ``perform_affine_tf``
     (code/utils/segmentation/transforms.py:131-143): warp a batch of
     (N, K, H, W) maps by per-sample 2x3 affine matrices, preserving
     gradients.
+
+    impl="gather": exact torch-parity bilinear (gather forward,
+      scatter-add backward — slow on TPU: scatters don't vectorise).
+    impl="matmul" (default): TPU-native two-pass resampling — the affine
+      warp factorised into two 1-D linear resamplings (Catmull-Smith),
+      each expressed as a batched matmul against an on-the-fly banded
+      hat-function interpolation matrix. No gather/scatter anywhere; the
+      backward is transposed matmuls. Equivalent zero-padding bilinear
+      semantics with a sheared (parallelogram) interpolation footprint
+      instead of torch's axis-aligned square — max deviation O(c/a) of one
+      pixel's neighbour weighting; validated distributionally and
+      element-wise (<2e-2 on smooth softmax maps) in tests. Requires the
+      x-row coefficient |theta[0,0]| to stay away from 0 (true for the
+      reference's augmentation ranges: rot<=30deg, shear<=10deg).
     """
     n_i, k, h, w = data.shape
     n_i2, r, cdim = tf_matrices.shape
     assert n_i == n_i2 and r == 2 and cdim == 3
-    grid = affine_grid(tf_matrices, data.shape)
-    return grid_sample(data, grid)
+    if impl == "gather":
+        grid = affine_grid(tf_matrices, data.shape)
+        return grid_sample(data, grid)
+    return affine_warp_matmul(data, tf_matrices)
+
+
+def affine_warp_matmul(data, theta):
+    """Affine warp of (N, C, H, W) by (N, 2, 3) normalised-coordinate
+    matrices (torch affine_grid convention, align_corners=True) as two
+    batched interpolation matmuls. See ``perform_affine_tf``.
+    """
+    n, ch, H, W = data.shape
+    t = theta.astype(jnp.float32)
+
+    # Normalised -> pixel-space affine: row Y(i,j), col X(i,j) of the
+    # SOURCE sample for output pixel (i, j):
+    #   X = a*j + b*i + tx ;  Y = c*j + d*i + ty
+    a = t[:, 0, 0]
+    b = t[:, 0, 1] * (W - 1) / (H - 1)
+    tx = (W - 1) / 2.0 * (1.0 - t[:, 0, 0] - t[:, 0, 1] + t[:, 0, 2])
+    c = t[:, 1, 0] * (H - 1) / (W - 1)
+    d = t[:, 1, 1]
+    ty = (H - 1) / 2.0 * (1.0 - t[:, 1, 0] - t[:, 1, 1] + t[:, 1, 2])
+
+    # Two-pass factorisation (solve h s.t. pass2 o pass1 == warp):
+    #   pass1 (rows):    tmp[i, q] = in(h(i, q), q),
+    #     h(i, q) = (d - c*b/a)*i + (c/a)*q + (ty - c*tx/a)
+    #   pass2 (columns): out[i, j] = tmp(i, X(i, j))
+    inv_a = a / (a * a + 1e-12)
+    A2 = d - c * b * inv_a
+    B2 = c * inv_a
+    C2 = ty - c * tx * inv_a
+
+    i_idx = jnp.arange(H, dtype=jnp.float32)
+    j_idx = jnp.arange(W, dtype=jnp.float32)
+    p_idx = jnp.arange(H, dtype=jnp.float32)
+    q_idx = jnp.arange(W, dtype=jnp.float32)
+
+    # pass 1: K1[n, i, q, p] = hat(h(i, q) - p); zero rows outside the
+    # source give exactly the zero-padding bilinear behaviour.
+    hpos = (A2[:, None, None] * i_idx[None, :, None]
+            + B2[:, None, None] * q_idx[None, None, :]
+            + C2[:, None, None])  # (n, H, W)
+    k1 = jnp.maximum(0.0, 1.0 - jnp.abs(hpos[..., None] - p_idx))
+    tmp = jnp.einsum("ncpq,nhqp->nchq", data.astype(jnp.float32), k1)
+
+    # pass 2: K2[n, i, j, q] = hat(X(i, j) - q)
+    xpos = (b[:, None, None] * i_idx[None, :, None]
+            + a[:, None, None] * j_idx[None, None, :]
+            + tx[:, None, None])  # (n, H, W)
+    k2 = jnp.maximum(0.0, 1.0 - jnp.abs(xpos[..., None] - q_idx))
+    out = jnp.einsum("nchq,nhjq->nchj", tmp, k2)
+    return out

@@ -127,14 +127,20 @@ def displacement_joint_dense(x1, x2, half_t):
 
 
 def _warp_mask(x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
-               half_T_side_sparse_min, half_T_side_sparse_max, key):
+               half_T_side_sparse_min, half_T_side_sparse_max, key,
+               warp_impl="gather"):
     """Common preamble of both seg losses: inverse-affine warp of x2 into
     x1's frame, optional sparse random translation, relevancy masking
-    (reference: code/utils/segmentation/IID_losses.py:26-45)."""
+    (reference: code/utils/segmentation/IID_losses.py:26-45).
+
+    warp_impl: "gather" = exact torch-parity bilinear (default on the
+    public surface); "matmul" = the TPU-native two-matmul warp (an order of
+    magnitude faster on TPU — training steps default to it via config)."""
     assert x1_outs.shape == x2_outs.shape
     bn, k, h, w = x1_outs.shape
 
-    x2_outs_inv = perform_affine_tf(x2_outs, all_affine2_to_1)
+    x2_outs_inv = perform_affine_tf(x2_outs, all_affine2_to_1,
+                                    impl=warp_impl)
 
     if (half_T_side_sparse_min != 0) or (half_T_side_sparse_max != 0):
         assert key is not None, (
@@ -155,7 +161,7 @@ def IID_segmentation_loss(x1_outs, x2_outs, all_affine2_to_1=None,
                           half_T_side_dense=None,
                           half_T_side_sparse_min=None,
                           half_T_side_sparse_max=None,
-                          key=None, axis_name=None):
+                          key=None, axis_name=None, warp_impl="gather"):
     """Collapsed segmentation IID loss. Mirrors the reference
     (code/utils/segmentation/IID_losses.py:14-83): normalise, THEN symmetrise
     (opposite order to the clustering loss), clamp joint and marginals,
@@ -163,7 +169,8 @@ def IID_segmentation_loss(x1_outs, x2_outs, all_affine2_to_1=None,
     """
     x1m, x2m = _warp_mask(
         x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
-        half_T_side_sparse_min, half_T_side_sparse_max, key)
+        half_T_side_sparse_min, half_T_side_sparse_max, key,
+        warp_impl=warp_impl)
 
     p_i_j = displacement_joint_collapsed(x1m, x2m, half_T_side_dense)
     if axis_name is not None:
@@ -193,7 +200,8 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
                                       half_T_side_dense=None,
                                       half_T_side_sparse_min=None,
                                       half_T_side_sparse_max=None,
-                                      key=None, axis_name=None):
+                                      key=None, axis_name=None,
+                                      warp_impl="gather"):
     """Uncollapsed variant: per-displacement expectation of the MI
     (reference: code/utils/segmentation/IID_losses.py:86-159). Each of the
     T x T displacement joints is normalised and symmetrised independently;
@@ -201,7 +209,8 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
     """
     x1m, x2m = _warp_mask(
         x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
-        half_T_side_sparse_min, half_T_side_sparse_max, key)
+        half_T_side_sparse_min, half_T_side_sparse_max, key,
+        warp_impl=warp_impl)
 
     k = x1_outs.shape[1]
     t_side = half_T_side_dense * 2 + 1

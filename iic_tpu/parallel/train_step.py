@@ -136,6 +136,7 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         half_T_side_sparse_min, half_T_side_sparse_max,
                         sobel=False, include_rgb=False, using_IR=False,
                         use_uncollapsed_loss=False, augment=None,
+                        warp_impl="matmul",
                         mesh=None, axis_name="data", joint_mode="global"):
     """Build the jitted segmentation train step for one head.
 
@@ -176,7 +177,7 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                     half_T_side_dense=half_T_side_dense,
                     half_T_side_sparse_min=half_T_side_sparse_min,
                     half_T_side_sparse_max=half_T_side_sparse_max,
-                    key=k_,
+                    key=k_, warp_impl=warp_impl,
                     axis_name=axis if joint_mode == "global" else None)
             )(out1, out2, sub_keys)
             loss = losses.mean()

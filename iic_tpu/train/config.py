@@ -176,6 +176,7 @@ class SegConfig:
     bn_sync: bool = False
     seed: int = 0
     eval_batch_sz: Optional[int] = None
+    exact_warp: bool = False  # True: torch-parity gather warp in the loss
 
     # derived
     twohead: bool = True

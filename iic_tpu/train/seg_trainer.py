@@ -73,6 +73,7 @@ def train_segmentation_twohead(config):
         sobel=config.sobel, include_rgb=config.include_rgb,
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
+        warp_impl="gather" if config.exact_warp else "matmul",
         augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
     steps = {
         "A": make_seg_train_step(net, tx, lamb=config.lamb_A, head="A",
@@ -176,6 +177,7 @@ def train_segmentation_single(config):
         sobel=config.sobel, include_rgb=config.include_rgb,
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
+        warp_impl="gather" if config.exact_warp else "matmul",
         augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
 
     history = _make_history()

@@ -49,7 +49,8 @@ def test_grid_sample_matches_torch(n, c, h, w):
     theta = _rand_theta(rng, n)
 
     out_j = np.asarray(
-        perform_affine_tf(jnp.asarray(data), jnp.asarray(theta)))
+        perform_affine_tf(jnp.asarray(data), jnp.asarray(theta),
+                          impl="gather"))
 
     grid_t = F.affine_grid(torch.from_numpy(theta),
                            torch.Size((n, c, h, w)), align_corners=True)

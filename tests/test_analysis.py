@@ -1,0 +1,142 @@
+"""Analysis tooling tests: run reload + re-eval, renders, truncated-label
+mapping, kmeans eval, print tools."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stored_run(tmp_path_factory):
+    """One tiny trained twohead run shared by the analysis tests."""
+    from iic_tpu.train import ClusterConfig, train_cluster_twohead
+
+    tmp = tmp_path_factory.mktemp("runs")
+    cfg = ClusterConfig(
+        model_ind=31, arch="ClusterNet6cTwoHead", mode="IID",
+        dataset="Synthetic10x28x1x128", dataset_root="",
+        gt_k=10, output_k_A=20, output_k_B=10, lr=1e-3, num_epochs=2,
+        batch_sz=32, num_dataloaders=2, num_sub_heads=2,
+        out_root=str(tmp), crop_orig=True, crop_other=True,
+        tf1_crop="centre_half", tf1_crop_sz=20, tf2_crop="random",
+        tf2_crop_szs=(16, 20, 24), input_sz=24, rot_val=25.0,
+        no_flip=True, batchnorm_track=True, test_code=True, save_freq=1)
+    cfg.finalize(twohead=True, sobel=False)
+    train_cluster_twohead(cfg)
+    return str(tmp), 31
+
+
+def test_analysis_eval_reload(stored_run):
+    from iic_tpu.cli.analysis.eval import main
+
+    out_root, model_ind = stored_run
+    stats = main(["--model_ind", str(model_ind), "--out_root", out_root])
+    assert 0.0 <= stats["best"] <= 1.0
+    assert len(stats["test_accs"]) == 2
+
+
+def test_analysis_print_stats(stored_run, capsys):
+    from iic_tpu.cli.analysis.print_stats import main
+
+    out_root, model_ind = stored_run
+    main(["--model_inds", str(model_ind), "--out_root", out_root])
+    out = capsys.readouterr().out
+    assert f"model {model_ind}" in out
+    assert "best acc" in out
+
+
+def test_analysis_update_config(stored_run):
+    from iic_tpu.cli.analysis.update_config import main
+    import pickle
+
+    out_root, model_ind = stored_run
+    main(["--model_ind", str(model_ind), "--out_root", out_root,
+          "--field", "lamb", "--value", "1.5"])
+    with open(os.path.join(out_root, str(model_ind),
+                           "config.pickle"), "rb") as f:
+        meta = pickle.load(f)
+    assert meta["config"]["lamb"] == 1.5
+
+
+def test_truncated_mapping_loader(stored_run):
+    from iic_tpu.cli.analysis.overcluster_fewer_labels_example import main
+
+    out_root, model_ind = stored_run
+    results = main(["--model_ind", str(model_ind), "--out_root", out_root,
+                    "--pcs", "1.0", "0.5"])
+    assert set(results) == {1.0, 0.5}
+    for v in results.values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_print_nets(capsys):
+    from iic_tpu.cli.analysis.print_nets import main
+
+    total = main(["--arch", "ClusterNet6cTwoHead", "--input_sz", "24",
+                  "--in_channels", "1", "--output_k_A", "20",
+                  "--output_k_B", "10", "--num_sub_heads", "2"])
+    out = capsys.readouterr().out
+    assert "total params" in out
+    assert total > 1_000_000  # VGG-ish trunk
+
+
+def test_render_modes(tmp_path):
+    from iic_tpu.utils.render import render
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    render(imgs, mode="image", name="img", out_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "img_0.png")
+
+    labels = rng.integers(0, 4, (2, 16, 16))
+    render(labels, mode="preds", name="pred", out_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "pred_1.png")
+
+    mask = rng.integers(0, 2, (16, 16))
+    render(mask, mode="mask", name="mask", out_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "mask.png")
+
+
+def test_save_progress(stored_run, tmp_path):
+    from iic_tpu.cli.analysis.eval import load_run
+    from iic_tpu.data.pipeline import cluster_twohead_create_dataloaders
+    from iic_tpu.train.cluster_trainer import make_eval_apply
+    from iic_tpu.utils.render import save_progress
+
+    out_root, model_ind = stored_run
+    config, net, state, history = load_run(out_root, model_ind)
+    _, _, map_a, map_t = cluster_twohead_create_dataloaders(config)
+    apply_fn = make_eval_apply(net, state, config, head="B")
+    out_dir = save_progress(config, apply_fn, map_a, map_t, index=0,
+                            out_dir=str(tmp_path / "prog"))
+    assert os.path.exists(os.path.join(out_dir, "progression_0000.png"))
+
+
+def test_kmeans_cluster_assess():
+    from iic_tpu.evals.kmeans_eval import kmeans_cluster_assess
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((4, 8)) * 5
+    labels = rng.integers(0, 4, 300)
+    feats = centers[labels] + 0.1 * rng.standard_normal((300, 8))
+    acc = kmeans_cluster_assess(feats, labels, gt_k=4)
+    assert acc > 0.95
+
+
+def test_kmeans_segmentation_eval():
+    from iic_tpu.evals.kmeans_eval import kmeans_segmentation_eval
+
+    rng = np.random.default_rng(1)
+    # feature maps where the feature vector encodes the label
+    labels = rng.integers(0, 3, (4, 8, 8))
+    feats = np.eye(3, dtype=np.float32)[labels].transpose(0, 3, 1, 2)
+    feats = feats + 0.05 * rng.standard_normal(feats.shape).astype(
+        np.float32)
+    mask = np.ones((4, 8, 8), np.uint8)
+    loader = [(feats, labels, mask)]
+
+    stats = kmeans_segmentation_eval(lambda im: im, loader, gt_k=3,
+                                     max_num_samples=200)
+    assert stats["acc"] > 0.9

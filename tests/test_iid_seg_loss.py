@@ -128,6 +128,56 @@ def test_uncollapsed_loss_matches_torch(half_t, lamb):
     np.testing.assert_allclose(float(loss), ref, rtol=2e-4, atol=2e-6)
 
 
+def test_fast_warp_loss_close_to_exact():
+    """The TPU-native matmul warp gives a loss within a tight tolerance of
+    the exact gather warp (error confined to the 1-px source-boundary
+    band)."""
+    rng = np.random.default_rng(7)
+    x1, x2, aff, mask = _rand_inputs(rng, n=4, k=4, h=32, w=32)
+    kwargs = dict(lamb=1.0, half_T_side_dense=2,
+                  half_T_side_sparse_min=0, half_T_side_sparse_max=0)
+    exact, _ = IID_segmentation_loss(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+        jnp.asarray(mask), warp_impl="gather", **kwargs)
+    fast, _ = IID_segmentation_loss(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(aff),
+        jnp.asarray(mask), warp_impl="matmul", **kwargs)
+    np.testing.assert_allclose(float(fast), float(exact), rtol=0.02,
+                               atol=1e-4)
+
+
+def test_matmul_warp_identity_exact():
+    from iic_tpu.ops.affine import perform_affine_tf
+    rng = np.random.default_rng(8)
+    data = jnp.asarray(rng.uniform(0, 1, (2, 3, 16, 16)).astype(np.float32))
+    ident = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (2, 1, 1))
+    out = perform_affine_tf(data, ident, impl="matmul")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(data), atol=1e-5)
+
+
+def test_matmul_warp_close_to_gather_on_smooth_maps():
+    from iic_tpu.ops.affine import perform_affine_tf
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float32) / 48
+    data = np.tile(np.stack([np.sin(3 * xx) * np.cos(2 * yy)])[None],
+                   (3, 1, 1, 1)).astype(np.float32)
+    rng = np.random.default_rng(9)
+    thetas = []
+    for _ in range(3):
+        ang = np.radians(rng.uniform(-30, 30))
+        sh = np.radians(rng.uniform(-10, 10))
+        s = rng.uniform(0.8, 1.2)
+        thetas.append([[np.cos(ang) * s, -np.sin(ang + sh) * s, 0],
+                       [np.sin(ang) * s, np.cos(ang + sh) * s, 0]])
+    theta = jnp.asarray(np.array(thetas, np.float32))
+    exact = np.asarray(perform_affine_tf(jnp.asarray(data), theta,
+                                         impl="gather"))
+    fast = np.asarray(perform_affine_tf(jnp.asarray(data), theta,
+                                        impl="matmul"))
+    diff = np.abs(exact - fast)
+    assert diff.mean() < 1e-3  # tiny everywhere except the boundary band
+    assert (diff > 0.05).mean() < 0.01  # band covers <1% of pixels
+
+
 def test_sparse_translation_runs_and_is_finite():
     rng = np.random.default_rng(3)
     x1, x2, aff, mask = _rand_inputs(rng)

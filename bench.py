@@ -45,7 +45,8 @@ def main():
     step = make_seg_train_step(
         net, tx, lamb=1.0, head="B", half_T_side_dense=10,
         half_T_side_sparse_min=0, half_T_side_sparse_max=0,
-        sobel=True, include_rgb=True, use_uncollapsed_loss=True)
+        sobel=True, include_rgb=True, use_uncollapsed_loss=True,
+        joint_impl="fft")
 
     rng = np.random.default_rng(0)
     img1 = jnp.asarray(

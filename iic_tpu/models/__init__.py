@@ -64,6 +64,22 @@ def make_SegmentationNet10aTwoHead(config):
         **_build_common(config))
 
 
+def make_SegmentationNet10aDoersch(config):
+    from iic_tpu.models.seg_baselines import SegmentationNet10aDoersch
+    return SegmentationNet10aDoersch(
+        patch_side=getattr(config, "doersch_patch_side", 9),
+        input_sz=config.input_sz,
+        batchnorm_track=getattr(config, "batchnorm_track", True))
+
+
+def make_SegmentationNet10aIsola(config):
+    from iic_tpu.models.seg_baselines import SegmentationNet10aIsola
+    return SegmentationNet10aIsola(
+        patch_side=getattr(config, "isola_patch_side", 9),
+        input_sz=config.input_sz,
+        batchnorm_track=getattr(config, "batchnorm_track", True))
+
+
 def make_TripletsNet5g(config):
     return TripletsNet(output_k=config.output_k, input_sz=config.input_sz,
                        trunk_type="5g", **_build_common(config))
@@ -83,6 +99,8 @@ ARCHS = {
     "SegmentationNet10aTwoHead": make_SegmentationNet10aTwoHead,
     "TripletsNet5g": make_TripletsNet5g,
     "TripletsNet6c": make_TripletsNet6c,
+    "SegmentationNet10aDoersch": make_SegmentationNet10aDoersch,
+    "SegmentationNet10aIsola": make_SegmentationNet10aIsola,
 }
 
 

@@ -104,6 +104,68 @@ def displacement_joint_collapsed(x1, x2, half_t):
     )
 
 
+def _next_fast_len(n):
+    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n — good FFT sizes."""
+    best = 1
+    while best < n:
+        best *= 2
+    m = best
+    candidate = best
+    for b in range(0, 20):
+        v3 = 3 ** b
+        if v3 >= 2 * best:
+            break
+        for c in range(0, 20):
+            v = v3 * 5 ** c
+            if v >= 2 * best:
+                break
+            p = v
+            while p < n:
+                p *= 2
+            if p < candidate:
+                candidate = p
+    return candidate
+
+
+def displacement_joint_dense_fft(x1, x2, half_t):
+    """Per-displacement joint via FFT cross-correlation — the TPU-first
+    formulation of the reference's activations-as-filters conv
+    (code/utils/segmentation/IID_losses.py:53). The conv's cost grows as
+    O(nhw k^2 T^2) and XLA realises the 128x128-filter conv poorly; the
+    spectral product is O(nhw k (log hw + k)) and T-independent:
+
+        P[i, j, u, v] = IFFT2( sum_n F[x1_n,i] * conj(F[x2_n,j]) )[u, v]
+
+    Zero-padding to a 5-smooth size >= h + 2*half_t makes the circular
+    correlation exact for |shift| <= 2*half_t. Matches
+    ``displacement_joint_dense`` to f32 accumulation error.
+    """
+    n, k, h, w = x1.shape
+    s_h = _next_fast_len(h + 2 * half_t)
+    s_w = _next_fast_len(w + 2 * half_t)
+
+    x1p = jnp.pad(x1.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, s_h - h), (0, s_w - w)))
+    x2p = jnp.pad(x2.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, s_h - h), (0, s_w - w)))
+    f1 = jnp.fft.rfft2(x1p)  # (n, k, s_h, s_w//2+1)
+    f2 = jnp.fft.rfft2(x2p)
+
+    nf = f1.shape[-2] * f1.shape[-1]
+    spec = jnp.einsum(
+        "nif,njf->ijf",
+        f1.reshape(n, k, nf),
+        jnp.conj(f2).reshape(n, k, nf),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(k, k, f1.shape[-2], f1.shape[-1])
+
+    corr = jnp.fft.irfft2(spec, s=(s_h, s_w))  # (k, k, s_h, s_w)
+    # out[u+half, v+half] = corr[u mod s_h, v mod s_w], u,v in [-half, half]
+    corr = jnp.roll(corr, (half_t, half_t), axis=(-2, -1))
+    t = 2 * half_t + 1
+    return corr[:, :, :t, :t]
+
+
 def displacement_joint_dense(x1, x2, half_t):
     """Full per-displacement joint (K, K, T, T), T = 2*half_t+1.
 
@@ -201,11 +263,15 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
                                       half_T_side_sparse_min=None,
                                       half_T_side_sparse_max=None,
                                       key=None, axis_name=None,
-                                      warp_impl="gather"):
+                                      warp_impl="gather",
+                                      joint_impl="conv"):
     """Uncollapsed variant: per-displacement expectation of the MI
     (reference: code/utils/segmentation/IID_losses.py:86-159). Each of the
     T x T displacement joints is normalised and symmetrised independently;
     result divided by T^2. Returns ``(loss, loss_no_lamb)``.
+
+    joint_impl: "conv" (exact-parity conv) or "fft" (the T-independent
+    spectral formulation — the training-step default on TPU).
     """
     x1m, x2m = _warp_mask(
         x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
@@ -215,7 +281,9 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
     k = x1_outs.shape[1]
     t_side = half_T_side_dense * 2 + 1
 
-    p = displacement_joint_dense(x1m, x2m, half_T_side_dense)  # (k, k, T, T)
+    joint_fn = (displacement_joint_dense_fft if joint_impl == "fft"
+                else displacement_joint_dense)
+    p = joint_fn(x1m, x2m, half_T_side_dense)  # (k, k, T, T)
     if axis_name is not None:
         p = jax.lax.psum(p, axis_name)
     p = jnp.transpose(p, (2, 3, 0, 1))  # (T, T, k, k)

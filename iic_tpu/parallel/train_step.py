@@ -136,7 +136,7 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         half_T_side_sparse_min, half_T_side_sparse_max,
                         sobel=False, include_rgb=False, using_IR=False,
                         use_uncollapsed_loss=False, augment=None,
-                        warp_impl="matmul",
+                        warp_impl="matmul", joint_impl="fft",
                         mesh=None, axis_name="data", joint_mode="global"):
     """Build the jitted segmentation train step for one head.
 
@@ -146,8 +146,12 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
 
     Mirrors segmentation_twohead.py:262-357.
     """
-    loss_impl = (IID_segmentation_loss_uncollapsed if use_uncollapsed_loss
-                 else IID_segmentation_loss)
+    if use_uncollapsed_loss:
+        def loss_impl(*a, **kw):
+            return IID_segmentation_loss_uncollapsed(
+                *a, joint_impl=joint_impl, **kw)
+    else:
+        loss_impl = IID_segmentation_loss  # collapsed: box-filter + matmul
 
     def step_fn(state, batch, key, axis):
         if axis is not None:

@@ -1,0 +1,188 @@
+"""Doersch / Isola segmentation baseline trainers.
+
+Mirror of code/scripts/segmentation/baselines/doersch.py and isola.py:
+train the siamese patch heads with self-supervised patch-pair objectives
+(9-way relative position CE / adjacency BCE), then evaluate by k-means on
+penultimate features with Hungarian matching
+(kmeans_segmentation_eval). Patch pairs are sampled on device from the
+PRNG key (the reference's DoerschDataset wrapper becomes a pure sampling
+function).
+"""
+
+import sys
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iic_tpu import models
+from iic_tpu.data.seg_pipeline import (
+    SegMappingLoader, SegTrainPipeline, segmentation_create_dataloaders)
+from iic_tpu.evals.kmeans_eval import kmeans_segmentation_eval
+from iic_tpu.ops.baselines import doersch_loss, isola_loss
+from iic_tpu.ops.sobel import sobel_process
+from iic_tpu.parallel import create_train_state
+from iic_tpu.parallel.train_step import TrainState
+from iic_tpu.train import checkpoint as ckpt
+from iic_tpu.train.cluster_trainer import make_optimizer
+from iic_tpu.train.config import config_to_str
+
+# 3x3 grid of relative positions (incl. centre): the 9 Doersch classes.
+_POSITIONS = np.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                      np.int32)
+
+
+def _log(msg):
+    print(msg)
+    sys.stdout.flush()
+
+
+def sample_doersch_pairs(key, batch, input_sz, patch_side):
+    """Per-sample (centre, other, position_label)."""
+    k1, k2 = jax.random.split(key)
+    margin = patch_side // 2 + patch_side + 1
+    centre = jax.random.randint(k1, (batch, 2), margin, input_sz - margin)
+    labels = jax.random.randint(k2, (batch,), 0, 9)
+    offsets = jnp.asarray(_POSITIONS)[labels] * patch_side
+    other = centre + offsets
+    return centre, other, labels
+
+
+def sample_isola_pairs(key, batch, input_sz, patch_side):
+    """Per-sample (centre, other, is_adjacent): half adjacent (offset =
+    patch_side in a random compass direction), half distant."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    margin = patch_side // 2 + 4 * patch_side + 1
+    centre = jax.random.randint(k1, (batch, 2), margin, input_sz - margin)
+    is_adj = jax.random.bernoulli(k2, 0.5, (batch,))
+    dir_idx = jax.random.randint(k3, (batch,), 0, 8)
+    dirs = jnp.asarray(np.concatenate([_POSITIONS[:4], _POSITIONS[5:]]))
+    adj_other = centre + dirs[dir_idx] * patch_side
+    far_other = centre + dirs[dir_idx] * (
+        patch_side * jax.random.randint(k4, (batch, 1), 3, 5))
+    other = jnp.where(is_adj[:, None], adj_other, far_other)
+    return centre, other, is_adj.astype(jnp.int32)
+
+
+def train_seg_baseline(config, kind):
+    """kind: "doersch" | "isola". Returns (state, history)."""
+    _log(config_to_str(config))
+    assert kind in ("doersch", "isola")
+    config.single_mode = True
+
+    pipe, map_assign, map_test = segmentation_create_dataloaders(
+        config, seed=config.seed)
+    net = models.build(config.arch, config)
+    patch_side = (getattr(config, "doersch_patch_side", 9) if
+                  kind == "doersch" else
+                  getattr(config, "isola_patch_side", 9))
+
+    dummy = jnp.zeros((2, config.in_channels, config.input_sz,
+                       config.input_sz))
+    dummy_centres = jnp.full((2, 2), config.input_sz // 2, jnp.int32)
+    variables = net.init(
+        {"params": jax.random.PRNGKey(config.seed),
+         "dropout": jax.random.PRNGKey(1)},
+        dummy, centre=dummy_centres, other=dummy_centres, train=True)
+    tx = make_optimizer(config)
+    state = create_train_state(variables, tx)
+
+    sobel = config.sobel
+    include_rgb = config.include_rgb
+    using_ir = config.using_IR
+    augment = pipe.augment
+    sample_fn = (sample_doersch_pairs if kind == "doersch"
+                 else sample_isola_pairs)
+    loss_fn_impl = doersch_loss if kind == "doersch" else isola_loss
+
+    @jax.jit
+    def train_step(state, imgs_u8, masks_u8, key):
+        k_aug, k_pairs, k_drop = jax.random.split(key, 3)
+        img1, _, _, _ = augment(imgs_u8, masks_u8, k_aug)
+        if sobel:
+            img1 = sobel_process(img1, include_rgb, using_IR=using_ir)
+        centre, other, labels = sample_fn(
+            k_pairs, img1.shape[0], config.input_sz, patch_side)
+
+        def loss_fn(params):
+            v = {"params": params}
+            if state.batch_stats:
+                v["batch_stats"] = state.batch_stats
+                logits, upd = net.apply(
+                    v, img1, centre=centre, other=other, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop})
+                bs = upd["batch_stats"]
+            else:
+                logits = net.apply(v, img1, centre=centre, other=other,
+                                   train=True, rngs={"dropout": k_drop})
+                bs = state.batch_stats
+            return loss_fn_impl(logits, labels), bs
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, batch_stats=bs,
+                          opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    @jax.jit
+    def features_fn_raw(variables, imgs):
+        if sobel:
+            imgs = sobel_process(imgs, include_rgb, using_IR=using_ir)
+        return net.apply(variables, imgs, train=False, penultimate=True)
+
+    def make_features_fn(state):
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return lambda imgs: features_fn_raw(v, imgs)
+
+    history = {"epoch_acc": [], "epoch_loss": []}
+    next_epoch = 1
+    if config.restart:
+        state, history, last_epoch = ckpt.load_checkpoint(config, state,
+                                                          name="latest")
+        next_epoch = last_epoch + 1
+    else:
+        stats = kmeans_segmentation_eval(
+            make_features_fn(state), map_assign, config.gt_k)
+        history["epoch_acc"].append(stats["acc"])
+        _log(f"Pre: kmeans acc {stats['acc']:.6f}")
+
+    for e_i in range(next_epoch, config.num_epochs):
+        _log(f"Starting e_i: {e_i} {datetime.now()}")
+        avg_loss = 0.0
+        count = 0
+        for b_i, (imgs, masks, key) in enumerate(
+                pipe.epoch(e_i, augmented=False)):
+            state, loss = train_step(state, imgs, masks, key)
+            loss = float(loss)
+            if not np.isfinite(loss):
+                _log(f"Loss is NaN/inf ({loss}). Exiting.")
+                sys.exit(1)
+            avg_loss += loss
+            count += 1
+            if config.test_code and b_i >= 1:
+                break
+        history["epoch_loss"].append(avg_loss / count)
+
+        stats = kmeans_segmentation_eval(
+            make_features_fn(state), map_assign, config.gt_k)
+        acc = stats["acc"]
+        is_best = acc > max(history["epoch_acc"])
+        history["epoch_acc"].append(acc)
+        _log(f"Epoch {e_i}: kmeans acc {acc:.6f} "
+             f"loss {avg_loss / count:.5f}")
+        if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
+            ckpt.save_checkpoint(config, state, history, "latest",
+                                 last_epoch=e_i)
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=e_i)
+        if config.test_code:
+            break
+
+    return state, history

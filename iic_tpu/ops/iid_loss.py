@@ -83,12 +83,25 @@ def iid_loss_from_joint(p_i_j, lamb=1.0, eps=EPS):
     return loss, loss_no_lamb
 
 
-def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None):
+def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None,
+             impl="xla"):
     """IID clustering loss. Mirrors reference ``IID_loss``
     (code/utils/cluster/IID_losses.py:6): returns ``(loss, loss_no_lamb)``.
 
     ``x_out``/``x_tf_out`` are (bn, k) and must already have softmax applied.
+
+    impl="pallas" routes through the fused single-pass TPU kernel
+    (iic_tpu.ops.pallas.iid_loss_kernel) — identical numerics, joint and
+    log terms never leave VMEM. Only for single-shard (axis_name=None)
+    invocations; the sharded global-joint path needs the psum between the
+    joint and the log terms.
     """
+    if impl == "pallas":
+        assert axis_name is None, (
+            "the fused kernel computes a per-shard joint; use impl='xla' "
+            "with axis_name for the global-joint mode")
+        from iic_tpu.ops.pallas import iid_loss_fused
+        return iid_loss_fused(x_out, x_tf_out, lamb)
     p_i_j = compute_joint(x_out, x_tf_out, axis_name=axis_name)
     return iid_loss_from_joint(p_i_j, lamb=lamb, eps=EPS)
 

@@ -124,6 +124,12 @@ class _SegDatasetBase:
         """-> (new_label, mask bool). Subclass-specific."""
         raise NotImplementedError
 
+    def label_filter_table(self):
+        """Lookup table over raw label value + 1 (so -1 maps to index 0)
+        -> filtered label, with -1 meaning masked out. Used by the native
+        batch-prep path; None when the subclass has no table form."""
+        return None
+
     def get_train(self, idx, rng):
         """Host geometry for a train sample
         (reference _prepare_train pre-device part, cocostuff.py:104-140)."""
@@ -223,6 +229,17 @@ class _CocoFullMixin:
         mask = label >= self.first_allowed
         return label - self.first_allowed, mask
 
+    def label_filter_table(self):
+        raw = np.arange(-1, 182, dtype=np.int32)
+        if self.use_coarse_labels:
+            table = np.concatenate([[-1], self.fine_to_coarse])
+            mapped = table[raw + 1]
+        else:
+            mapped = raw
+        out = mapped - self.first_allowed
+        out[mapped < self.first_allowed] = -1
+        return out.astype(np.int32)
+
 
 class _CocoFewMixin:
     """Few label space: sky/plant/ground stuff (+person/animal things)
@@ -255,6 +272,9 @@ class _CocoFewMixin:
         new_label = table[label + 1]
         mask = new_label >= 0
         return new_label, mask
+
+    def label_filter_table(self):
+        return np.concatenate([[-1], self.fine_to_few]).astype(np.int32)
 
 
 def _coco_10k_files(root, split):
@@ -431,6 +451,9 @@ class SyntheticSeg(_SegDatasetBase):
 
     def _filter_label(self, label):
         return label, np.ones(label.shape, bool)
+
+    def label_filter_table(self):
+        return np.arange(-1, self.gt_k, dtype=np.int32)
 
 
 SEG_DATASETS = {

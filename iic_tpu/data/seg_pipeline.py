@@ -10,6 +10,8 @@ of img2 (recording affine2_to_1), random flip (negating the top affine row
 (img1, img2, affine2_to_1, mask) the loss consumes.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,9 +91,14 @@ class SegTrainPipeline:
     ``augment`` for fusion into the train step. Replaces the reference's
     paired seg dataloaders (code/utils/segmentation/data.py:85-126);
     shuffles per epoch when num_dataloaders == 1 (the reference's
-    ``do_shuffle``), keeps deterministic sequential order otherwise."""
+    ``do_shuffle``), keeps deterministic sequential order otherwise.
 
-    def __init__(self, config, partitions, seed=0):
+    ``use_native=True`` (default: auto) routes the per-sample host geometry
+    (scale / pad+crop / label remap+mask) through the threaded C++ library
+    (iic_tpu/native/seg_prep.cpp) instead of the per-sample numpy path —
+    same random draws, same coordinate conventions."""
+
+    def __init__(self, config, partitions, seed=0, use_native=None):
         self.config = config
         self.seed = seed
         self.datasets = [build_seg_dataset(config, p, "train")
@@ -104,12 +111,114 @@ class SegTrainPipeline:
         self.augment = make_seg_augment(config)
         self._augment_jit = jax.jit(self.augment)
 
-    def _sample(self, global_idx, rng):
+        self._native = None
+        # auto mode enables the native path only on multi-core hosts: its
+        # win is thread-level parallelism across samples; single-threaded,
+        # cv2's SIMD resize in the numpy path is faster (measured).
+        if use_native is None:
+            use_native_now = (os.cpu_count() or 1) >= 4
+        else:
+            use_native_now = use_native
+        if use_native_now:
+            from iic_tpu.native import load_seg_prep
+            self._native = load_seg_prep()
+            if use_native and self._native is None:
+                raise RuntimeError("native seg_prep unavailable")
+
+    def _locate(self, global_idx):
         for d, n in zip(self.datasets, self.lengths):
             if global_idx < n:
-                return d.get_train(global_idx, rng)
+                return d, global_idx
             global_idx -= n
         raise IndexError
+
+    def _sample(self, global_idx, rng):
+        d, i = self._locate(global_idx)
+        return d.get_train(i, rng)
+
+    def _draw_geometry(self, dataset, img_shape, rng):
+        """Replicate get_train's random draws: (combined scale, crop
+        centre in the scaled+padded frame)."""
+        cfg = self.config
+        scale = 1.0
+        if getattr(cfg, "pre_scale_all", False):
+            scale *= cfg.pre_scale_factor
+        if getattr(cfg, "use_random_scale", False):
+            scale *= (rng.random() * (cfg.scale_max - cfg.scale_min)
+                      + cfg.scale_min)
+        h, w = img_shape[:2]
+        sh = max(int(round(h * scale)), 1) if scale != 1.0 else h
+        sw = max(int(round(w * scale)), 1) if scale != 1.0 else w
+        sz = cfg.input_sz
+        ph, pw = max(sh, sz), max(sw, sz)
+        h_c_min = w_c_min = int(sz / 2.0)
+        if sz % 2 == 1:
+            h_c_max, w_c_max = ph - 1 - sz // 2, pw - 1 - sz // 2
+        else:
+            h_c_max, w_c_max = ph - sz // 2, pw - sz // 2
+        h_c = int(rng.integers(h_c_min, h_c_max + 1))
+        w_c = int(rng.integers(w_c_min, w_c_max + 1))
+        return scale, h_c, w_c
+
+    def _native_batch(self, idxs, rng):
+        import ctypes
+
+        cfg = self.config
+        sz = cfg.input_sz
+        b = len(idxs)
+        raws = []
+        for gi in idxs:
+            d, i = self._locate(int(gi))
+            img, label = d._load_raw(i)
+            table = d.label_filter_table()
+            raws.append((np.ascontiguousarray(img),
+                         None if table is None else
+                         np.ascontiguousarray(label.astype(np.int32))
+                         if label is not None else None,
+                         table))
+
+        channels = raws[0][0].shape[2]
+        heights = np.array([r[0].shape[0] for r in raws], np.int32)
+        widths = np.array([r[0].shape[1] for r in raws], np.int32)
+        scales = np.empty(b, np.float32)
+        h_cs = np.empty(b, np.int32)
+        w_cs = np.empty(b, np.int32)
+        for j, r in enumerate(raws):
+            s, h_c, w_c = self._draw_geometry(None, r[0].shape, rng)
+            scales[j], h_cs[j], w_cs[j] = s, h_c, w_c
+
+        table = raws[0][2]
+        have_labels = table is not None and all(
+            r[1] is not None for r in raws)
+        if table is None:
+            table = np.zeros(1, np.int32)
+
+        img_ptrs = (ctypes.c_void_p * b)(
+            *[r[0].ctypes.data for r in raws])
+        if have_labels:
+            lab_ptrs = (ctypes.c_void_p * b)(
+                *[r[1].ctypes.data for r in raws])
+        else:
+            lab_ptrs = None
+
+        imgs_out = np.empty((b, sz, sz, channels), np.uint8)
+        masks_out = np.empty((b, sz, sz), np.uint8)
+        ret = self._native.seg_prepare_batch(
+            img_ptrs, lab_ptrs,
+            heights.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            channels, b,
+            scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h_cs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w_cs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sz,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(table),
+            imgs_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            masks_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            os.cpu_count() or 1)
+        assert ret == 0
+        return imgs_out, masks_out
 
     def epoch(self, epoch_idx, augmented=False):
         rng = np.random.default_rng(
@@ -120,9 +229,12 @@ class SegTrainPipeline:
             jax.random.PRNGKey(self.seed + 7919), epoch_idx)
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
-            samples = [self._sample(int(i), rng) for i in idxs]
-            imgs = np.stack([s[0] for s in samples])
-            masks = np.stack([s[1] for s in samples])
+            if self._native is not None:
+                imgs, masks = self._native_batch(idxs, rng)
+            else:
+                samples = [self._sample(int(i), rng) for i in idxs]
+                imgs = np.stack([s[0] for s in samples])
+                masks = np.stack([s[1] for s in samples])
             key = jax.random.fold_in(root, b_i)
             if augmented:
                 yield self._augment_jit(jnp.asarray(imgs),

@@ -200,6 +200,12 @@ def train_cluster_twohead(config):
 
         is_best = _epoch_eval(config, net, state, map_assign, map_test,
                               history)
+        if getattr(config, "save_progression", False):
+            # MNIST progression point clouds, figure 3 of the paper
+            # (reference cluster_greyscale_twohead.py:269-277)
+            from iic_tpu.utils.render import save_progress
+            save_progress(config, make_eval_apply(net, state, config),
+                          map_assign, map_test, index=e_i)
         _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
              f"avg {history['eval'].epoch_avg_subhead_acc[-1]:.6f} "
              f"loss A {history['epoch_loss_head_A'][-1]:.5f} "

@@ -274,11 +274,28 @@ def make_sobel_pair_transforms(config):
     crop_orig = getattr(config, "crop_orig", True)
     rand_crop_sz = config.rand_crop_sz
     input_sz = config.input_sz
+    fluid_warp = getattr(config, "fluid_warp", False)
+    rot_val = getattr(config, "rot_val", 0.0)
+    rand_crop_szs_tf = tuple(getattr(config, "rand_crop_szs_tf", ()))
     cutout = getattr(config, "cutout", False)
     cutout_p = getattr(config, "cutout_p", 0.5)
     cutout_max_box = getattr(config, "cutout_max_box", 0.7)
     use_random_affine = getattr(config, "use_random_affine", False)
     affine_p = getattr(config, "affine_p", 0.5)
+    demean = getattr(config, "demean", False)
+    data_mean = tuple(getattr(config, "data_mean", ()) or ())
+    data_std = tuple(getattr(config, "data_std", ()) or ())
+    do_per_img_demean = getattr(config, "per_img_demean", False)
+
+    def finish(img):
+        out = append_grey(img, include_rgb)
+        if demean and data_mean:
+            mean = jnp.asarray(data_mean, jnp.float32)
+            std = jnp.asarray(data_std, jnp.float32)
+            out = (out - mean) / std
+        if do_per_img_demean:
+            out = per_img_demean(out)
+        return out
 
     def tf1(img, key=None):
         if crop_orig:
@@ -287,11 +304,19 @@ def make_sobel_pair_transforms(config):
             else:
                 img = random_crop(img, key, rand_crop_sz)
             img = resize(img, input_sz)
-        return append_grey(img, include_rgb)
+        return finish(img)
 
     def tf2(img, key):
-        ks = jax.random.split(key, 6)
-        img = random_crop(img, ks[0], rand_crop_sz)
+        ks = jax.random.split(key, 7)
+        if fluid_warp:
+            # rotation option + random crop size choice
+            # (cluster/transforms.py:135-145)
+            if rot_val > 0:
+                img = random_rotation(img, ks[6], rot_val, p=0.5)
+            img = random_choice_crop_resize(
+                img, ks[0], rand_crop_szs_tf or (rand_crop_sz,), input_sz)
+        else:
+            img = random_crop(img, ks[0], rand_crop_sz)
         if use_random_affine:
             img = random_affine_img(img, ks[3], p=affine_p)
         if cutout:
@@ -300,16 +325,17 @@ def make_sobel_pair_transforms(config):
                                 int(rand_crop_sz * 0.2),
                                 int(rand_crop_sz * cutout_max_box))
             img = jnp.where(do, cut, img)
-        img = resize(img, input_sz)
+        if not fluid_warp:
+            img = resize(img, input_sz)
         img = random_flip(img, ks[1])
         img = color_jitter(img, ks[2])
-        return append_grey(img, include_rgb)
+        return finish(img)
 
     def tf3(img):
         if crop_orig:
             img = center_crop(img, rand_crop_sz)
             img = resize(img, input_sz)
-        return append_grey(img, include_rgb)
+        return finish(img)
 
     return tf1, tf2, tf3
 

@@ -1,8 +1,6 @@
 """Analysis: label-distribution count over a segmentation dataset's mapping
 set. Mirror of code/scripts/segmentation/analysis/count_classes.py."""
 
-import argparse
-
 import numpy as np
 
 

@@ -1,8 +1,6 @@
 """CLI: Doersch context-prediction segmentation baseline. Mirror of
 code/scripts/segmentation/baselines/doersch.py."""
 
-import argparse
-
 from iic_tpu.cli._args import parse_seg_args
 from iic_tpu.train.seg_baseline_trainers import train_seg_baseline
 

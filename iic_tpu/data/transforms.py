@@ -14,8 +14,7 @@ validated distributionally); grey conversion uses the ITU-R 601 weights PIL
 and cv2 share.
 """
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ einsum instead of the reference's Python loop over ``nn.ModuleList``
 trunks); batch-norm statistics and softmax always accumulate in f32.
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

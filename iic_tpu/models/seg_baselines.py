@@ -9,7 +9,7 @@ and a joint MLP (Linear -> ReLU -> Dropout -> Linear) to 9 position logits
 dynamic_slice on per-sample centres.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

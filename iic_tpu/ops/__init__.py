@@ -5,6 +5,7 @@ from iic_tpu.ops.iid_seg_loss import (
 )
 from iic_tpu.ops.affine import affine_grid, grid_sample, perform_affine_tf
 from iic_tpu.ops.sobel import sobel_process
+from iic_tpu.ops.baselines import doersch_loss, isola_loss, triplets_loss
 
 __all__ = [
     "IID_loss",
@@ -16,4 +17,7 @@ __all__ = [
     "grid_sample",
     "perform_affine_tf",
     "sobel_process",
+    "triplets_loss",
+    "doersch_loss",
+    "isola_loss",
 ]

@@ -18,7 +18,7 @@ loss is a mean over shards).
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

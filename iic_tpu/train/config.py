@@ -9,7 +9,7 @@ are computed in ``finalize()``.
 
 import dataclasses
 import json
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass

@@ -18,8 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from iic_tpu import models
-from iic_tpu.data.seg_pipeline import (
-    SegMappingLoader, SegTrainPipeline, segmentation_create_dataloaders)
+from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
 from iic_tpu.evals.kmeans_eval import kmeans_segmentation_eval
 from iic_tpu.ops.baselines import doersch_loss, isola_loss
 from iic_tpu.ops.sobel import sobel_process

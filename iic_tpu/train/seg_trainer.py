@@ -7,7 +7,6 @@ selected by use_uncollapsed_loss, NaN watchdog, per-epoch masked Hungarian
 eval, latest/best checkpoints, restart, --test_code smoke mode, plots.
 """
 
-import dataclasses
 import sys
 from datetime import datetime
 
@@ -16,9 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from iic_tpu import models
-from iic_tpu.data.seg_pipeline import (
-    make_seg_augment, segmentation_create_dataloaders)
-from iic_tpu.evals import EvalHistory
+from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
 from iic_tpu.evals.segmentation_eval import segmentation_eval
 from iic_tpu.parallel import (
     create_train_state, make_mesh, make_seg_apply_fn, make_seg_train_step)

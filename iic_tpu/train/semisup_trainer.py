@@ -23,7 +23,6 @@ import optax
 
 from iic_tpu import models
 from iic_tpu.data import readers
-from iic_tpu.data.pipeline import _load_partitions
 from iic_tpu.data.semisup import SemisupTrainLoader, make_tencrop_batch_fn
 from iic_tpu.data.transforms import make_sobel_pair_transforms
 from iic_tpu.models.semisup import SupHead5Head
@@ -243,6 +242,10 @@ def train_semisup(config):
         state, history, last_epoch = ckpt.load_checkpoint(config, state,
                                                           name="latest")
         start_epoch = last_epoch + 1
+        if config.restart_new_model_ind:
+            # continue under a new run id (reference :215-222)
+            config.model_ind = config.new_model_ind
+            _log(f"restarting as model {config.model_ind}")
     else:
         acc = assess_acc_block(
             lambda im: eval_apply(state.params, state.batch_stats, im),

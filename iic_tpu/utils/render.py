@@ -100,8 +100,7 @@ def save_progress(config, apply_fn, mapping_assignment_dataloader,
     """
     from PIL import Image
 
-    from iic_tpu.evals.cluster_eval import (
-        clustering_get_data, get_assignment_data_matches)
+    from iic_tpu.evals.cluster_eval import get_assignment_data_matches
 
     out_dir = out_dir or os.path.join(config.out_root,
                                       str(config.model_ind), "progression")

@@ -1,0 +1,111 @@
+"""CLI flag-surface parity: the exact paper command lines from the
+reference's examples/commands.txt must parse into correct configs."""
+
+import numpy as np
+import pytest
+
+from iic_tpu.cli._args import parse_cluster_args, parse_seg_args
+
+
+def test_cifar10_paper_flags_parse():
+    # model 640 command (examples/commands.txt:24), minus out-of-scope bits
+    argv = ("--model_ind 640 --arch ClusterNet5gTwoHead --mode IID "
+            "--dataset CIFAR10 --dataset_root /data/CIFAR --gt_k 10 "
+            "--output_k_A 70 --output_k_B 10 --lamb 1.0 --lr 0.0001 "
+            "--num_epochs 2000 --batch_sz 660 --num_dataloaders 3 "
+            "--num_sub_heads 5 --crop_orig --rand_crop_sz 20 --input_sz 32 "
+            "--head_A_first --head_B_epochs 2").split()
+    cfg = parse_cluster_args(argv)
+    cfg.lamb_A = cfg.lamb
+    cfg.lamb_B = cfg.lamb
+    cfg.finalize(twohead=True, sobel=True)
+    assert cfg.arch == "ClusterNet5gTwoHead"
+    assert cfg.batch_sz == 660 and cfg.num_dataloaders == 3
+    assert cfg.dataloader_batch_sz == 220
+    assert cfg.in_channels == 2  # sobel, no rgb
+    assert cfg.eval_mode == "hung"
+    assert cfg.head_A_first and cfg.head_B_epochs == 2
+
+
+def test_mnist_paper_flags_parse():
+    # model 685 command (examples/commands.txt:30)
+    argv = ("--model_ind 685 --arch ClusterNet6cTwoHead --mode IID "
+            "--dataset MNIST --dataset_root /data/MNIST --gt_k 10 "
+            "--output_k_A 50 --output_k_B 10 --lamb_A 1.0 --lamb_B 1.0 "
+            "--lr 0.0001 --num_epochs 3200 --batch_sz 700 "
+            "--num_dataloaders 5 --num_sub_heads 5 --crop_orig "
+            "--crop_other --tf1_crop centre_half --tf2_crop random "
+            "--tf1_crop_sz 20 --tf2_crop_szs 16 20 24 --input_sz 24 "
+            "--rot_val 25 --no_flip --head_B_epochs 2").split()
+    cfg = parse_cluster_args(argv)
+    cfg.finalize(twohead=True, sobel=False)
+    assert cfg.tf2_crop_szs == (16, 20, 24)
+    assert cfg.tf1_crop == "centre_half"
+    assert cfg.in_channels == 1
+    assert cfg.no_flip and cfg.rot_val == 25.0
+
+
+def test_coco_stuff3_paper_flags_parse():
+    # model 555 command (examples/commands.txt:74)
+    argv = ("--mode IID --dataset Coco164kCuratedFew "
+            "--dataset_root /data/CocoStuff164k --model_ind 555 "
+            "--arch SegmentationNet10aTwoHead --num_epochs 4800 "
+            "--lr 0.0001 --lamb_A 1.0 --lamb_B 1.5 --num_sub_heads 1 "
+            "--batch_sz 120 --num_dataloaders 1 --use_coarse_labels "
+            "--output_k_A 15 --output_k_B 3 --gt_k 3 --pre_scale_all "
+            "--pre_scale_factor 0.33 --input_sz 128 "
+            "--half_T_side_sparse_min 0 --half_T_side_sparse_max 0 "
+            "--half_T_side_dense 10 --include_rgb "
+            "--coco_164k_curated_version 6 --use_uncollapsed_loss "
+            "--batchnorm_track").split()
+    cfg = parse_seg_args(argv)
+    cfg.finalize(twohead=True)
+    assert cfg.in_channels == 5  # rgb + sobel dx dy, no IR
+    assert not cfg.using_IR
+    assert cfg.half_T_side_dense == 10
+    assert cfg.use_uncollapsed_loss
+    assert cfg.lamb_B == 1.5
+
+
+def test_potsdam_paper_flags_parse():
+    # model 545 command (examples/commands.txt:83)
+    argv = ("--mode IID --dataset Potsdam --dataset_root /data/POTSDAM "
+            "--model_ind 545 --arch SegmentationNet10aTwoHead "
+            "--num_epochs 4800 --lr 0.00001 --lamb_A 1.0 --lamb_B 1.5 "
+            "--num_sub_heads 1 --batch_sz 75 --num_dataloaders 1 "
+            "--use_coarse_labels --output_k_A 24 --output_k_B 3 --gt_k 3 "
+            "--input_sz 200 --half_T_side_sparse_min 0 "
+            "--half_T_side_sparse_max 0 --half_T_side_dense 10 "
+            "--include_rgb --no_sobel --jitter_brightness 0.1 "
+            "--jitter_contrast 0.1 --jitter_saturation 0.1 "
+            "--jitter_hue 0.1 --use_uncollapsed_loss "
+            "--batchnorm_track").split()
+    cfg = parse_seg_args(argv)
+    cfg.finalize(twohead=True)
+    assert cfg.using_IR
+    assert not cfg.sobel
+    assert cfg.in_channels == 4  # rgb + ir, no sobel
+    assert cfg.jitter_hue == 0.1
+
+
+def test_in_channels_table():
+    from iic_tpu.train.config import ClusterConfig, SegConfig
+
+    # sobel clustering: grey->2, +rgb->5
+    c = ClusterConfig(include_rgb=False).finalize(sobel=True)
+    assert c.in_channels == 2
+    c = ClusterConfig(include_rgb=True).finalize(sobel=True)
+    assert c.in_channels == 5
+    # greyscale clustering: 1
+    c = ClusterConfig().finalize(sobel=False)
+    assert c.in_channels == 1
+    # seg sobel no rgb: 2 (+1 IR for Potsdam)
+    s = SegConfig(dataset="Coco164kCuratedFew", gt_k=3,
+                  include_rgb=False).finalize()
+    assert s.in_channels == 2
+    s = SegConfig(dataset="Potsdam", gt_k=3, include_rgb=True,
+                  no_sobel=True).finalize()
+    assert s.in_channels == 4
+    s = SegConfig(dataset="Potsdam", gt_k=3, include_rgb=True,
+                  no_sobel=False).finalize()
+    assert s.in_channels == 6  # rgb + dx + dy + ir

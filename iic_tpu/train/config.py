@@ -83,6 +83,7 @@ class ClusterConfig:
     bn_sync: bool = False  # cross-shard BN stat sync
     seed: int = 0
     eval_batch_sz: Optional[int] = None
+    profile_dir: str = ""  # write a jax.profiler trace of one epoch here
 
     # derived (finalize)
     twohead: bool = True
@@ -177,6 +178,7 @@ class SegConfig:
     seed: int = 0
     eval_batch_sz: Optional[int] = None
     exact_warp: bool = False  # True: torch-parity gather warp in the loss
+    profile_dir: str = ""  # write a jax.profiler trace of one epoch here
 
     # derived
     twohead: bool = True

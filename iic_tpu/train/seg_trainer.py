@@ -106,6 +106,9 @@ def train_segmentation_twohead(config):
 
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if getattr(config, "profile_dir", "") and e_i == next_epoch:
+            # one-epoch device trace (SURVEY.md §5.1)
+            jax.profiler.start_trace(config.profile_dir)
         if e_i in set(config.lr_schedule):
             state = set_lr_mult(state, config.lr_mult)
 
@@ -139,6 +142,9 @@ def train_segmentation_twohead(config):
             history=history["eval"])
         _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
              f"loss B {history['epoch_loss_head_B'][-1]:.5f}")
+
+        if getattr(config, "profile_dir", "") and e_i == next_epoch:
+            jax.profiler.stop_trace()
 
         _save_plots(config, history)
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
@@ -200,6 +206,9 @@ def train_segmentation_single(config):
 
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
+        if getattr(config, "profile_dir", "") and e_i == next_epoch:
+            # one-epoch device trace (SURVEY.md §5.1)
+            jax.profiler.start_trace(config.profile_dir)
         if e_i in set(config.lr_schedule):
             state = set_lr_mult(state, config.lr_mult)
 
@@ -226,6 +235,9 @@ def train_segmentation_single(config):
             history=history["eval"])
         _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
              f"loss {avg_loss / count:.5f}")
+        if getattr(config, "profile_dir", "") and e_i == next_epoch:
+            jax.profiler.stop_trace()
+
         _save_plots(config, history)
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",

@@ -1,0 +1,31 @@
+"""Trainer-with-mesh smoke: the full twohead trainer runs sharded over the
+8-device virtual CPU mesh via config.n_devices, and a profiler trace is
+written when profile_dir is set."""
+
+import glob
+import os
+
+import numpy as np
+
+
+def test_twohead_trainer_with_mesh_and_profile(tmp_path):
+    from iic_tpu.train import ClusterConfig, train_cluster_twohead
+
+    prof_dir = str(tmp_path / "trace")
+    cfg = ClusterConfig(
+        model_ind=61, arch="ClusterNet6cTwoHead", mode="IID",
+        dataset="Synthetic10x28x1x128", dataset_root="",
+        gt_k=10, output_k_A=20, output_k_B=10, lr=1e-3, num_epochs=3,
+        batch_sz=32, num_dataloaders=2, num_sub_heads=2,
+        out_root=str(tmp_path), crop_orig=True, crop_other=True,
+        tf1_crop="centre_half", tf1_crop_sz=20, tf2_crop="random",
+        tf2_crop_szs=(16, 20, 24), input_sz=24, rot_val=25.0,
+        no_flip=True, batchnorm_track=True, test_code=True, save_freq=1,
+        n_devices=8, joint_mode="global", profile_dir=prof_dir)
+    cfg.finalize(twohead=True, sobel=False)
+    state, history = train_cluster_twohead(cfg)
+    assert np.isfinite(history["epoch_loss_head_B"][0])
+    assert len(history["eval"].epoch_acc) == 2
+    # profiler wrote a trace
+    assert glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                     recursive=True) or os.listdir(prof_dir)

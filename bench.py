@@ -33,7 +33,8 @@ def main():
     batch_sz = 120
     input_sz = 128
     cfg = SimpleNamespace(output_k_A=15, output_k_B=3, num_sub_heads=1,
-                          input_sz=input_sz, batchnorm_track=True)
+                          input_sz=input_sz, batchnorm_track=True,
+                          model_dtype="bfloat16")  # f32 heads + loss
     net = models.build("SegmentationNet10aTwoHead", cfg)
 
     key = jax.random.PRNGKey(0)

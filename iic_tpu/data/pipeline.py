@@ -92,17 +92,24 @@ class ClusterTrainPipeline:
     def epoch(self, epoch_idx, augmented=True):
         """Iterate deterministic sequential batches. ``augmented=False``
         yields (base_uint8 device array, key) for fusion into a train step;
-        otherwise yields the augmented pair."""
+        otherwise yields the augmented pair.
+
+        One-deep prefetch: batch i+1's host->device copy is issued
+        (asynchronously) before batch i is yielded, overlapping upload with
+        the consumer's step (SURVEY.md §7 hard part #6)."""
         bsz = self.dataloader_batch_sz
         root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
+        pending = None
         for b_i in range(self.num_batches):
             batch = self.images[b_i * bsz:(b_i + 1) * bsz]
             key = jax.random.fold_in(root, b_i)
-            batch_dev = jnp.asarray(batch)
-            if augmented:
-                yield self._augment_jit(batch_dev, key)
-            else:
-                yield batch_dev, key
+            batch_dev = jax.device_put(batch)  # async upload
+            if pending is not None:
+                yield pending
+            pending = ((self._augment_jit(batch_dev, key)) if augmented
+                       else (batch_dev, key))
+        if pending is not None:
+            yield pending
 
     def __len__(self):
         return self.num_batches

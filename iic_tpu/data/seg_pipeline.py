@@ -227,6 +227,7 @@ class SegTrainPipeline:
                  else np.arange(self.total))
         root = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919), epoch_idx)
+        pending = None  # one-deep prefetch: overlap upload with the step
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
             if self._native is not None:
@@ -236,11 +237,14 @@ class SegTrainPipeline:
                 imgs = np.stack([s[0] for s in samples])
                 masks = np.stack([s[1] for s in samples])
             key = jax.random.fold_in(root, b_i)
-            if augmented:
-                yield self._augment_jit(jnp.asarray(imgs),
-                                        jnp.asarray(masks), key)
-            else:
-                yield jnp.asarray(imgs), jnp.asarray(masks), key
+            imgs_dev = jax.device_put(imgs)
+            masks_dev = jax.device_put(masks)
+            if pending is not None:
+                yield pending
+            pending = (self._augment_jit(imgs_dev, masks_dev, key)
+                       if augmented else (imgs_dev, masks_dev, key))
+        if pending is not None:
+            yield pending
 
     def __len__(self):
         return self.num_batches

@@ -21,3 +21,24 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: call once per process before make_mesh; the
+    mesh then spans all processes' devices (DCN between hosts, ICI within).
+    Arguments default to cluster auto-detection (TPU pod environments)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_batch(mesh, local_batch, axis_name="data"):
+    """Assemble a globally-sharded batch array from each process's local
+    shard (multi-host input pipelines: every host loads only its slice)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_process_local_data(sharding, local_batch)

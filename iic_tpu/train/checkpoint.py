@@ -49,6 +49,52 @@ def save_checkpoint(config, state, history, name="latest", last_epoch=None):
         f.write(config_to_str(config) + f"\nlast_epoch: {last_epoch}\n")
 
 
+def save_checkpoint_orbax(config, state, history, name="latest",
+                          last_epoch=None):
+    """Orbax-backed checkpoint (async-capable, multi-host-safe) — the
+    production alternative to the msgpack files; same run-dir layout."""
+    import orbax.checkpoint as ocp
+
+    d = run_dir(config)
+    path = os.path.abspath(os.path.join(d, f"{name}_orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    pure = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    ckptr.save(path, pure, force=True)
+    ckptr.wait_until_finished()
+    meta = {"config": dataclasses.asdict(config), "history": history,
+            "last_epoch": last_epoch}
+    with open(os.path.join(d, "config.pickle"), "wb") as f:
+        pickle.dump(meta, f)
+
+
+def load_checkpoint_orbax(config, state_template, name="latest"):
+    import orbax.checkpoint as ocp
+
+    from iic_tpu.parallel.train_step import TrainState as TS
+
+    d = run_dir(config)
+    path = os.path.abspath(os.path.join(d, f"{name}_orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.device_get(state_template.params),
+        "batch_stats": jax.device_get(state_template.batch_stats),
+        "opt_state": jax.device_get(state_template.opt_state),
+        "step": 0,
+    }
+    pure = ckptr.restore(path, target)
+    state = TS(params=pure["params"], batch_stats=pure["batch_stats"],
+               opt_state=pure["opt_state"],
+               step=np.asarray(pure["step"], np.int32))
+    with open(os.path.join(d, "config.pickle"), "rb") as f:
+        meta = pickle.load(f)
+    return state, meta["history"], meta["last_epoch"]
+
+
 def load_checkpoint(config, state_template, name="latest"):
     """Restore (state, history, last_epoch) from a run dir. The template
     provides the pytree structure (same shapes as at save time)."""

@@ -53,14 +53,16 @@ def _load_partitions(config, partitions):
 class ClusterTrainPipeline:
     """One object replaces the reference's list of parallel dataloaders."""
 
-    def __init__(self, config, partitions, seed=0):
+    def __init__(self, config, partitions, seed=0, drop_last=False):
         self.config = config
         self.num_dataloaders = config.num_dataloaders
         self.dataloader_batch_sz = config.batch_sz // config.num_dataloaders
         self.seed = seed
+        self.drop_last = drop_last
         self.images, self.labels = _load_partitions(config, partitions)
-        self.num_batches = int(np.ceil(
-            len(self.images) / self.dataloader_batch_sz))
+        rounder = np.floor if drop_last else np.ceil
+        self.num_batches = max(int(rounder(
+            len(self.images) / self.dataloader_batch_sz)), 1)
 
         grey = _is_greyscale(config)
         if grey:
@@ -179,7 +181,7 @@ def _twohead_partitions(config):
     return train_a, train_b, mapping_assign, mapping_test
 
 
-def cluster_twohead_create_dataloaders(config, seed=0):
+def cluster_twohead_create_dataloaders(config, seed=0, drop_last=False):
     """Mirror of ``cluster_twohead_create_dataloaders``
     (code/utils/cluster/data.py:18-101). Returns
     (train_pipeline_head_A, train_pipeline_head_B,
@@ -190,8 +192,10 @@ def cluster_twohead_create_dataloaders(config, seed=0):
     config.train_partitions_head_B = train_b
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
-    return (ClusterTrainPipeline(config, train_a, seed=seed),
-            ClusterTrainPipeline(config, train_b, seed=seed + 1),
+    return (ClusterTrainPipeline(config, train_a, seed=seed,
+                                 drop_last=drop_last),
+            ClusterTrainPipeline(config, train_b, seed=seed + 1,
+                                 drop_last=drop_last),
             MappingLoader(config, map_a),
             MappingLoader(config, map_t))
 
@@ -208,7 +212,7 @@ def create_basic_clustering_dataloaders(config, seed=0):
     return cluster_twohead_create_dataloaders(config, seed=seed)
 
 
-def cluster_create_dataloaders(config, seed=0):
+def cluster_create_dataloaders(config, seed=0, drop_last=False):
     """Mirror of ``cluster_create_dataloaders`` (data.py:106-178): IID+
     single-head with train/test split. Returns
     (train_pipeline, mapping_assignment_loader, mapping_test_loader)."""
@@ -227,6 +231,7 @@ def cluster_create_dataloaders(config, seed=0):
     config.train_partitions = train
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
-    return (ClusterTrainPipeline(config, train, seed=seed),
+    return (ClusterTrainPipeline(config, train, seed=seed,
+                                 drop_last=drop_last),
             MappingLoader(config, map_a),
             MappingLoader(config, map_t))

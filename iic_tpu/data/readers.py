@@ -102,7 +102,7 @@ def load_cifar20(root, train=True):
     return load_cifar100(root, train=train, coarse=True)
 
 
-def _read_stl_bin(path, n_expected=None):
+def _read_stl_bin(path):
     arr = np.fromfile(path, dtype=np.uint8)
     # column-major 96x96x3 per image per STL10 spec
     n = arr.size // (3 * 96 * 96)

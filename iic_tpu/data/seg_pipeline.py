@@ -98,7 +98,8 @@ class SegTrainPipeline:
     (iic_tpu/native/seg_prep.cpp) instead of the per-sample numpy path —
     same random draws, same coordinate conventions."""
 
-    def __init__(self, config, partitions, seed=0, use_native=None):
+    def __init__(self, config, partitions, seed=0, use_native=None,
+                 drop_last=False):
         self.config = config
         self.seed = seed
         self.datasets = [build_seg_dataset(config, p, "train")
@@ -106,7 +107,8 @@ class SegTrainPipeline:
         self.lengths = [len(d) for d in self.datasets]
         self.total = sum(self.lengths)
         self.batch_sz = config.dataloader_batch_sz
-        self.num_batches = int(np.ceil(self.total / self.batch_sz))
+        rounder = np.floor if drop_last else np.ceil
+        self.num_batches = max(int(rounder(self.total / self.batch_sz)), 1)
         self.shuffle = config.num_dataloaders == 1
         self.augment = make_seg_augment(config)
         self._augment_jit = jax.jit(self.augment)
@@ -308,7 +310,7 @@ class SegMappingLoader:
         return int(np.ceil(self.total / self.batch_sz))
 
 
-def segmentation_create_dataloaders(config, seed=0):
+def segmentation_create_dataloaders(config, seed=0, drop_last=False):
     """Partition tables + loaders (reference code/utils/segmentation/
     data.py:12-56). Returns (train_pipeline, mapping_assignment_loader,
     mapping_test_loader)."""
@@ -344,6 +346,7 @@ def segmentation_create_dataloaders(config, seed=0):
     config.train_partitions = train
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
-    return (SegTrainPipeline(config, train, seed=seed),
+    return (SegTrainPipeline(config, train, seed=seed,
+                             drop_last=drop_last),
             SegMappingLoader(config, map_a),
             SegMappingLoader(config, map_t))

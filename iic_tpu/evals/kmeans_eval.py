@@ -25,7 +25,6 @@ def train_kmeans_on_features(features_fn, dataloader, gt_k,
     (imgs, labels, mask)."""
     from sklearn.cluster import MiniBatchKMeans
 
-    num_imgs = sum(1 for _ in dataloader) or 1
     rng = np.random.default_rng(seed)
     chunks = []
     collected = 0

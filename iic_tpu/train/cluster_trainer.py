@@ -95,6 +95,23 @@ def _save_plots(config, history):
     plt.close(fig)
 
 
+def adjust_batch_for_mesh(config):
+    """shard_map needs the per-step base batch divisible by the mesh size;
+    round dataloader_batch_sz down to a multiple of n_devices (paper batch
+    sizes like 660/700 do not divide 8) and drop ragged final batches."""
+    n = config.n_devices
+    if not n or n <= 1:
+        return False
+    dbs = config.batch_sz // config.num_dataloaders
+    new_dbs = max((dbs // n) * n, n)
+    if new_dbs != dbs:
+        config.batch_sz = new_dbs * config.num_dataloaders
+        config.dataloader_batch_sz = new_dbs
+        _log(f"mesh({n}): adjusted batch_sz to {config.batch_sz} "
+             f"(dataloader_batch_sz {new_dbs})")
+    return True
+
+
 def build_net_and_state(config):
     """Net + initialised TrainState (+ optimizer) for a cluster config."""
     net = models.build(config.arch, config)
@@ -124,8 +141,10 @@ def train_cluster_twohead(config):
     """
     _log(config_to_str(config))
 
+    use_mesh = adjust_batch_for_mesh(config)
     pipe_a, pipe_b, map_assign, map_test = \
-        cluster_twohead_create_dataloaders(config, seed=config.seed)
+        cluster_twohead_create_dataloaders(config, seed=config.seed,
+                                           drop_last=use_mesh)
 
     net, tx, state = build_net_and_state(config)
 
@@ -259,8 +278,9 @@ def train_cluster_single(config):
     from iic_tpu.data.pipeline import cluster_create_dataloaders
 
     _log(config_to_str(config))
+    use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = cluster_create_dataloaders(
-        config, seed=config.seed)
+        config, seed=config.seed, drop_last=use_mesh)
     net, tx, state = build_net_and_state(config)
 
     mesh = None

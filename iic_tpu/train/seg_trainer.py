@@ -21,8 +21,8 @@ from iic_tpu.parallel import (
     create_train_state, make_mesh, make_seg_apply_fn, make_seg_train_step)
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
-    _make_history, _save_plots, _truncate_history, make_optimizer,
-    set_lr_mult)
+    _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
+    make_optimizer, set_lr_mult)
 from iic_tpu.train.config import config_to_str
 
 
@@ -55,8 +55,9 @@ def train_segmentation_twohead(config):
     """Two-head unsupervised segmentation (IIC). Returns (state, history)."""
     _log(config_to_str(config))
 
+    use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(
-        config, seed=config.seed)
+        config, seed=config.seed, drop_last=use_mesh)
     net, tx, state = build_seg_net_and_state(config)
 
     mesh = None
@@ -164,8 +165,9 @@ def train_segmentation_single(config):
     Reference: code/scripts/segmentation/segmentation.py."""
     _log(config_to_str(config))
 
+    use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(
-        config, seed=config.seed)
+        config, seed=config.seed, drop_last=use_mesh)
     net, tx, state = build_seg_net_and_state(config)
 
     mesh = None

@@ -82,15 +82,20 @@ def _sync_batch_stats(bs, axis_name):
 def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                             sobel=False, include_rgb=False,
                             mesh=None, axis_name="data",
-                            joint_mode="global"):
+                            joint_mode="global", loss_impl="xla"):
     """Build the jitted clustering train step for one head.
 
     step(state, base_u8 (b, H, W, C) uint8, key) ->
         (state, loss, loss_no_lamb)
 
     Mirrors the hot loop of cluster_sobel_twohead.py:286-355 with
-    augmentation fused on device.
+    augmentation fused on device. ``loss_impl="pallas"`` routes each
+    sub-head's loss through the fused single-pass kernel (single-device
+    only: the sharded global-joint mode needs the psum between joint and
+    log terms).
     """
+    if loss_impl == "pallas":
+        assert mesh is None, "fused kernel is per-shard; use xla with mesh"
 
     def step_fn(state, base_u8, key, axis):
         if axis is not None:
@@ -107,11 +112,18 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
             out, bs = _forward(net, params, state.batch_stats, imgs,
                                **head_kw)
             out_tf, bs = _forward(net, params, bs, imgs_tf, **head_kw)
-            losses, losses_nl = jax.vmap(
-                lambda a, b: IID_loss(a, b, lamb=lamb,
-                                      axis_name=axis if joint_mode ==
-                                      "global" else None)
-            )(out, out_tf)
+            if loss_impl == "pallas":
+                from iic_tpu.ops.pallas import iid_loss_fused
+                pairs = [iid_loss_fused(out[i], out_tf[i], lamb)
+                         for i in range(out.shape[0])]
+                losses = jnp.stack([p[0] for p in pairs])
+                losses_nl = jnp.stack([p[1] for p in pairs])
+            else:
+                losses, losses_nl = jax.vmap(
+                    lambda a, b: IID_loss(a, b, lamb=lamb,
+                                          axis_name=axis if joint_mode ==
+                                          "global" else None)
+                )(out, out_tf)
             loss = losses.mean()
             loss_nl = losses_nl.mean()
             if axis is not None and joint_mode != "global":

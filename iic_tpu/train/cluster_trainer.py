@@ -154,15 +154,17 @@ def train_cluster_twohead(config):
 
     lamb_a = getattr(config, "lamb_A", config.lamb)
     lamb_b = getattr(config, "lamb_B", config.lamb)
+    loss_impl = ("pallas" if getattr(config, "fused_loss", False)
+                 and mesh is None else "xla")
     steps = {
         "A": make_cluster_train_step(
             net, tx, pipe_a.augment_pair, lamb=lamb_a, head="A",
             sobel=config.sobel, include_rgb=config.include_rgb,
-            mesh=mesh, joint_mode=config.joint_mode),
+            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl),
         "B": make_cluster_train_step(
             net, tx, pipe_b.augment_pair, lamb=lamb_b, head="B",
             sobel=config.sobel, include_rgb=config.include_rgb,
-            mesh=mesh, joint_mode=config.joint_mode),
+            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl),
     }
     pipes = {"A": pipe_a, "B": pipe_b}
 

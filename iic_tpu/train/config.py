@@ -84,6 +84,7 @@ class ClusterConfig:
     seed: int = 0
     eval_batch_sz: Optional[int] = None
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
+    fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
 
     # derived (finalize)
     twohead: bool = True

@@ -85,6 +85,7 @@ class ClusterConfig:
     eval_batch_sz: Optional[int] = None
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
+    kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)
     twohead: bool = True

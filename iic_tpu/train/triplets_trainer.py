@@ -34,20 +34,37 @@ def _log(msg):
     sys.stdout.flush()
 
 
-def triplets_eval(config, apply_fn, test_loader, history):
+def triplets_eval(config, apply_fn, test_loader, history,
+                  features_fn=None):
     """Reference ``triplets_eval``: argmax preds over the test loader,
-    Hungarian match, acc + per-class mass/accuracy appended to history."""
+    Hungarian match, acc + per-class mass/accuracy appended to history.
+    With ``features_fn`` (config.kmeans_on_features), predictions come from
+    k-means fitted on the net's features instead
+    (``triplets_get_data_kmeans_on_features``, baselines/triplets.py:134)."""
     preds_l, targets_l = [], []
-    for imgs, targets in test_loader:
-        outs = apply_fn(imgs)  # (bn, output_k) logits
-        preds_l.append(np.asarray(outs.argmax(axis=1)))
-        targets_l.append(np.asarray(targets))
-    flat_preds = np.concatenate(preds_l).astype(np.int32)
-    flat_targets = np.concatenate(targets_l).astype(np.int32)
+    if features_fn is not None:
+        from sklearn.cluster import KMeans
+        feats_l = []
+        for imgs, targets in test_loader:
+            feats_l.append(np.asarray(features_fn(imgs)))
+            targets_l.append(np.asarray(targets))
+        feats = np.concatenate(feats_l)
+        flat_targets = np.concatenate(targets_l).astype(np.int32)
+        km = KMeans(n_clusters=config.gt_k, random_state=config.seed,
+                    n_init=10)
+        flat_preds = km.fit_predict(feats).astype(np.int32)
+    else:
+        for imgs, targets in test_loader:
+            outs = apply_fn(imgs)  # (bn, output_k) logits
+            preds_l.append(np.asarray(outs.argmax(axis=1)))
+            targets_l.append(np.asarray(targets))
+        flat_preds = np.concatenate(preds_l).astype(np.int32)
+        flat_targets = np.concatenate(targets_l).astype(np.int32)
 
+    # k-means variant always produces gt_k clusters
+    preds_k = config.gt_k if features_fn is not None else config.output_k
     match = hungarian_match(flat_preds, flat_targets,
-                            preds_k=config.output_k,
-                            targets_k=config.gt_k)
+                            preds_k=preds_k, targets_k=config.gt_k)
     reordered = reorder_preds(flat_preds, match)
     assert len({p for p, _ in match}) == config.gt_k
 
@@ -128,12 +145,16 @@ def train_triplets(config):
 
     apply_raw = jax.jit(lambda v, im: net.apply(
         v, sobel_process(im, include_rgb) if sobel else im, train=False))
+    features_raw = jax.jit(lambda v, im: net.apply(
+        v, sobel_process(im, include_rgb) if sobel else im, train=False,
+        kmeans_use_features=True))
 
-    def make_apply(state):
+    def make_apply(state, features=False):
         v = {"params": state.params}
         if state.batch_stats:
             v["batch_stats"] = state.batch_stats
-        return lambda im: apply_raw(v, im)
+        raw = features_raw if features else apply_raw
+        return lambda im: raw(v, im)
 
     history = {"epoch_acc": [], "epoch_loss": [], "masses": [],
                "per_class_acc": []}
@@ -143,7 +164,10 @@ def train_triplets(config):
                                                           name="latest")
         next_epoch = last_epoch + 1
     else:
-        triplets_eval(config, make_apply(state), test_loader, history)
+        kf = getattr(config, "kmeans_on_features", False)
+        triplets_eval(config, make_apply(state), test_loader, history,
+                      features_fn=make_apply(state, features=True)
+                      if kf else None)
         _log(f"Pre: acc {history['epoch_acc'][-1]:.6f}")
 
     n = len(pipe.images)
@@ -169,8 +193,11 @@ def train_triplets(config):
                 break
         history["epoch_loss"].append(avg_loss / count)
 
+        kf = getattr(config, "kmeans_on_features", False)
         is_best = triplets_eval(config, make_apply(state), test_loader,
-                                history)
+                                history,
+                                features_fn=make_apply(state, features=True)
+                                if kf else None)
         _log(f"Epoch {e_i}: acc {history['epoch_acc'][-1]:.6f} "
              f"loss {avg_loss / count:.5f}")
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:

@@ -65,3 +65,22 @@ def test_triplets_trainer_smoke(tmp_path):
     assert len(history["epoch_acc"]) == 2
     assert np.isfinite(history["epoch_loss"][0])
     assert len(history["masses"][0]) == 10
+
+
+def test_triplets_kmeans_on_features(tmp_path):
+    from iic_tpu.train.config import ClusterConfig
+    from iic_tpu.train.triplets_trainer import train_triplets
+
+    cfg = ClusterConfig(
+        model_ind=22, arch="TripletsNet6c", mode="IID",
+        dataset="Synthetic10x28x1x96", dataset_root="",
+        gt_k=10, output_k=10, lr=1e-3, num_epochs=2, batch_sz=32,
+        num_dataloaders=1, out_root=str(tmp_path),
+        crop_orig=True, crop_other=True, tf1_crop="centre_half",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=(16, 20, 24),
+        input_sz=24, rot_val=25.0, no_flip=True, batchnorm_track=True,
+        test_code=True, save_freq=1, kmeans_on_features=True)
+    cfg.finalize(twohead=False, sobel=False)
+    state, history = train_triplets(cfg)
+    assert len(history["epoch_acc"]) == 2
+    assert 0.0 <= history["epoch_acc"][-1] <= 1.0

@@ -238,7 +238,11 @@ def IID_segmentation_loss(x1_outs, x2_outs, all_affine2_to_1=None,
     if axis_name is not None:
         p_i_j = jax.lax.psum(p_i_j, axis_name)
 
-    p_i_j = p_i_j / jnp.sum(p_i_j)  # normalise (mask-aware, uses actual sum)
+    # Normalise (mask-aware, uses the actual sum). The reference divides by
+    # ``float(p_i_j.sum())`` — a detached Python scalar
+    # (code/utils/segmentation/IID_losses.py:60-61) — so no gradient flows
+    # through the normaliser; stop_gradient reproduces that exactly.
+    p_i_j = p_i_j / jax.lax.stop_gradient(jnp.sum(p_i_j))
     p_i_j = (p_i_j + p_i_j.T) / 2.0  # symmetrise AFTER normalising
 
     k = p_i_j.shape[0]

@@ -44,13 +44,12 @@ def _rand_inputs(rng, n=3, k=4, h=16, w=16):
     return x1, x2, affine2_to_1, mask
 
 
-def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
-    """Torch transcription of the reference seg loss math (not imported)."""
-    x1 = torch.from_numpy(x1)
-    x2 = torch.from_numpy(x2)
-    aff = torch.from_numpy(aff)
-    mask = torch.from_numpy(mask)
-
+def _torch_seg_loss_tensor(x1, x2, aff, mask, lamb, half_t, collapsed=True):
+    """Torch transcription of the reference seg loss math (not imported),
+    operating on torch tensors so autograd gradients can be compared too.
+    The collapsed variant divides by ``float(p.sum())`` — a detached Python
+    scalar, exactly as the reference does
+    (code/utils/segmentation/IID_losses.py:60-61)."""
     grid = F.affine_grid(aff, x2.shape, align_corners=True)
     x2_inv = F.grid_sample(x2, grid, padding_mode="zeros",
                            align_corners=True)
@@ -66,7 +65,7 @@ def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
 
     if collapsed:
         p = p.sum(dim=2).sum(dim=2)
-        p = p / p.sum()
+        p = p / float(p.sum())
         p = (p + p.t()) / 2.0
         p_i = p.sum(dim=1).unsqueeze(1).clone()
         p_j = p.sum(dim=0).unsqueeze(0).clone()
@@ -74,9 +73,8 @@ def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
         p[p < EPS] = EPS
         p_i[p_i < EPS] = EPS
         p_j[p_j < EPS] = EPS
-        loss = (-p * (torch.log(p) - lamb * torch.log(p_i)
+        return (-p * (torch.log(p) - lamb * torch.log(p_i)
                       - lamb * torch.log(p_j))).sum()
-        return float(loss)
     else:
         t_side = 2 * half_t + 1
         p = p.permute(2, 3, 0, 1)
@@ -88,9 +86,26 @@ def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
         p[p < EPS] = EPS
         p_i[p_i < EPS] = EPS
         p_j[p_j < EPS] = EPS
-        loss = (-p * (torch.log(p) - lamb * torch.log(p_i)
+        return (-p * (torch.log(p) - lamb * torch.log(p_i)
                       - lamb * torch.log(p_j))).sum() / (t_side * t_side)
-        return float(loss)
+
+
+def torch_seg_loss(x1, x2, aff, mask, lamb, half_t, collapsed=True):
+    loss = _torch_seg_loss_tensor(
+        torch.from_numpy(x1), torch.from_numpy(x2), torch.from_numpy(aff),
+        torch.from_numpy(mask), lamb, half_t, collapsed=collapsed)
+    return float(loss)
+
+
+def torch_seg_loss_grads(x1, x2, aff, mask, lamb, half_t, collapsed=True):
+    """Input gradients of the transcribed reference loss via autograd."""
+    x1t = torch.from_numpy(x1).requires_grad_(True)
+    x2t = torch.from_numpy(x2).requires_grad_(True)
+    loss = _torch_seg_loss_tensor(
+        x1t, x2t, torch.from_numpy(aff), torch.from_numpy(mask),
+        lamb, half_t, collapsed=collapsed)
+    g1, g2 = torch.autograd.grad(loss, (x1t, x2t))
+    return g1.numpy(), g2.numpy()
 
 
 @pytest.mark.parametrize("half_t", [0, 1, 3])
@@ -187,6 +202,38 @@ def test_sparse_translation_runs_and_is_finite():
         half_T_side_sparse_min=1, half_T_side_sparse_max=2,
         key=jax.random.PRNGKey(0))
     assert np.isfinite(float(loss)) and np.isfinite(float(nl))
+
+
+@pytest.mark.parametrize("collapsed,half_t,lamb",
+                         [(True, 0, 1.0), (True, 2, 1.3),
+                          (False, 1, 1.0), (False, 2, 1.2)])
+def test_seg_loss_input_gradients_match_torch(collapsed, half_t, lamb):
+    """Gradient-exact parity: jax.grad of both seg-loss variants equals
+    torch autograd of the transcribed reference — incl. the collapsed
+    variant's DETACHED normaliser (float(p.sum()), reference
+    code/utils/segmentation/IID_losses.py:60-61)."""
+    rng = np.random.default_rng(11)
+    x1, x2, aff, mask = _rand_inputs(rng, n=2, k=3, h=12, w=12)
+    tg1, tg2 = torch_seg_loss_grads(x1, x2, aff, mask, lamb, half_t,
+                                    collapsed=collapsed)
+
+    loss_fn = (IID_segmentation_loss if collapsed
+               else IID_segmentation_loss_uncollapsed)
+
+    def f(a, b):
+        loss, _ = loss_fn(
+            a, b, jnp.asarray(aff), jnp.asarray(mask), lamb=lamb,
+            half_T_side_dense=half_t, half_T_side_sparse_min=0,
+            half_T_side_sparse_max=0)
+        return loss
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(jnp.asarray(x1), jnp.asarray(x2))
+    # f32 cancellation in the entropy terms needs an atol floor.
+    scale = max(np.abs(tg1).max(), np.abs(tg2).max())
+    np.testing.assert_allclose(np.asarray(g1), tg1, rtol=2e-3,
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(g2), tg2, rtol=2e-3,
+                               atol=2e-4 * scale)
 
 
 def test_seg_loss_gradients_flow():

@@ -119,10 +119,15 @@ def random_cutout(img, key, min_box, max_box):
     kb, kx, ky = jax.random.split(key, 3)
     box_sz = jax.random.randint(kb, (), min_box, max_box + 1)
     half = jnp.floor(box_sz / 2.0).astype(jnp.int32)
-    x_c = jax.random.randint(kx, (), 0, w) % jnp.maximum(w - 2 * half, 1)
-    x_c = x_c + half
-    y_c = jax.random.randint(ky, (), 0, h) % jnp.maximum(h - 2 * half, 1)
-    y_c = y_c + half
+    # Reference: x_c = np.random.randint(half, w - half) — uniform over the
+    # valid centres. randint's bounds must be traceable, so draw U[0, 1) and
+    # scale by the (data-dependent) valid range instead.
+    n_x = jnp.maximum(w - 2 * half, 1)
+    n_y = jnp.maximum(h - 2 * half, 1)
+    x_c = half + jnp.floor(
+        jax.random.uniform(kx, ()) * n_x).astype(jnp.int32)
+    y_c = half + jnp.floor(
+        jax.random.uniform(ky, ()) * n_y).astype(jnp.int32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inside = ((xs >= x_c - half) & (xs < x_c + half)

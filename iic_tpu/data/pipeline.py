@@ -26,6 +26,8 @@ from iic_tpu.data.transforms import (
 
 
 def _is_greyscale(config):
+    if getattr(config, "greyscale", False):
+        return True
     if config.dataset == "MNIST":
         return True
     if config.dataset.startswith("Synthetic"):
@@ -53,12 +55,19 @@ def _load_partitions(config, partitions):
 class ClusterTrainPipeline:
     """One object replaces the reference's list of parallel dataloaders."""
 
-    def __init__(self, config, partitions, seed=0, drop_last=False):
+    def __init__(self, config, partitions, seed=0, drop_last=False,
+                 deterministic_shuffle=False):
         self.config = config
         self.num_dataloaders = config.num_dataloaders
         self.dataloader_batch_sz = config.batch_sz // config.num_dataloaders
         self.seed = seed
         self.drop_last = drop_last
+        # DeterministicRandomSampler semantics (reference
+        # data.py:590-601): a seeded random-but-fixed visiting order,
+        # identical across the parallel loaders so pairs stay aligned.
+        # Ours derives the epoch's permutation from (seed, epoch), which is
+        # additionally restart-reproducible.
+        self.deterministic_shuffle = deterministic_shuffle
         self.images, self.labels = _load_partitions(config, partitions)
         rounder = np.floor if drop_last else np.ceil
         self.num_batches = max(int(rounder(
@@ -101,9 +110,17 @@ class ClusterTrainPipeline:
         the consumer's step (SURVEY.md §7 hard part #6)."""
         bsz = self.dataloader_batch_sz
         root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
+        if self.deterministic_shuffle:
+            order = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, epoch_idx])).permutation(len(self.images))
+        else:
+            order = None
         pending = None
         for b_i in range(self.num_batches):
-            batch = self.images[b_i * bsz:(b_i + 1) * bsz]
+            if order is None:
+                batch = self.images[b_i * bsz:(b_i + 1) * bsz]
+            else:
+                batch = self.images[order[b_i * bsz:(b_i + 1) * bsz]]
             key = jax.random.fold_in(root, b_i)
             batch_dev = jax.device_put(batch)  # async upload
             if pending is not None:
@@ -203,13 +220,41 @@ def cluster_twohead_create_dataloaders(config, seed=0, drop_last=False):
 def create_basic_clustering_dataloaders(config, seed=0):
     """The README-advertised one-function public API (reference
     ``create_basic_clustering_dataloaders``, code/utils/cluster/
-    data.py:502-601): deterministic-seeded order over a user dataset
-    (there: ImageFolder + DeterministicRandomSampler(seed 0); here: any
-    dataset name the readers support, fixed seed), twohead-style loaders.
+    data.py:502-601): user images in class-per-subfolder layout under
+    ``config.dataset_root/train`` (ImageFolder convention), visited in a
+    seeded deterministic random order (DeterministicRandomSampler parity),
+    same data for both heads. Labelled mapping loaders are built from
+    ``dataset_root/none`` only when that directory exists, exactly like the
+    reference's ``os.path.exists(test_data_path)`` gate (data.py:566-585).
+    ``config.greyscale`` selects the greyscale transform family (the
+    reference hardcodes ``greyscale = False`` as a user-editable line).
+
+    Non-ImageFolder dataset names fall back to the built-in twohead factory
+    over the packaged readers.
 
     Returns (train_pipeline_head_A, train_pipeline_head_B,
              mapping_assignment_loader, mapping_test_loader)."""
-    return cluster_twohead_create_dataloaders(config, seed=seed)
+    import os
+
+    if config.dataset != "ImageFolder":
+        return cluster_twohead_create_dataloaders(config, seed=seed)
+
+    assert config.batchnorm_track  # recommended, as in the reference
+    train = ["train"]
+    config.train_partitions_head_A = train
+    config.train_partitions_head_B = train
+    pipe_a = ClusterTrainPipeline(config, train, seed=seed,
+                                  deterministic_shuffle=True)
+    pipe_b = ClusterTrainPipeline(config, train, seed=seed,
+                                  deterministic_shuffle=True)
+
+    map_assign = map_test = None
+    if os.path.isdir(os.path.join(config.dataset_root, "none")):
+        config.mapping_assignment_partitions = ["none"]
+        config.mapping_test_partitions = ["none"]
+        map_assign = MappingLoader(config, ["none"])
+        map_test = MappingLoader(config, ["none"])
+    return pipe_a, pipe_b, map_assign, map_test
 
 
 def cluster_create_dataloaders(config, seed=0, drop_last=False):

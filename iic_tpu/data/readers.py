@@ -140,6 +140,52 @@ def load_stl10(root, split="train"):
     return {"images": imgs, "labels": labels}
 
 
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
+
+
+def load_image_folder(root, subdir):
+    """torchvision ImageFolder equivalent (reference
+    code/utils/cluster/data.py:530-564 feeds ImageFolder(root/train) into
+    ``create_basic_clustering_dataloaders``): one class per subfolder of
+    ``root/subdir``, classes sorted alphabetically, files sorted within each
+    class. Decodes via cv2 (BGR->RGB). Images of mixed sizes are resized
+    (bilinear) to the modal (h, w) so the batch stacks — the on-device tf1/
+    tf2 crops then sample from that common frame."""
+    import cv2
+
+    base = os.path.join(root, subdir) if subdir else root
+    if not os.path.isdir(base):
+        raise FileNotFoundError(base)
+    classes = sorted(d for d in os.listdir(base)
+                     if os.path.isdir(os.path.join(base, d)))
+    if not classes:
+        raise FileNotFoundError(f"no class subfolders under {base}")
+    imgs, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(base, cname)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith(_IMG_EXTS):
+                continue
+            img = cv2.imread(os.path.join(cdir, fname), cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            labels.append(ci)
+    if not imgs:
+        raise FileNotFoundError(f"no decodable images under {base}")
+
+    shapes = [im.shape[:2] for im in imgs]
+    if len(set(shapes)) > 1:
+        hs, ws = zip(*shapes)
+        modal = (max(set(hs), key=hs.count), max(set(ws), key=ws.count))
+        imgs = [im if im.shape[:2] == modal else
+                cv2.resize(im, (modal[1], modal[0]),
+                           interpolation=cv2.INTER_LINEAR)
+                for im in imgs]
+    return {"images": np.stack(imgs),
+            "labels": np.array(labels, np.int32)}
+
+
 def reorder_train_deterministic_ids(n_train=5000, per=20):
     """STL10 mix_train interleave: first 5k spread one-every-20 through the
     100k unlabelled (reference code/utils/cluster/general.py:26-45)."""
@@ -194,4 +240,8 @@ def load_dataset(name, root, partition):
         is_train = partition in (True, "train", "train+unlabeled")
         n = n_train if is_train else max(n_train // 4, k * 4)
         return make_synthetic(n, k, sz, c, seed=0 if is_train else 1)
+    if name == "ImageFolder":
+        sub = partition if isinstance(partition, str) else (
+            "train" if partition else "test")
+        return load_image_folder(root, sub)
     return DATASET_LOADERS[name](root, partition)

@@ -93,6 +93,12 @@ class SegTrainPipeline:
     shuffles per epoch when num_dataloaders == 1 (the reference's
     ``do_shuffle``), keeps deterministic sequential order otherwise.
 
+    num_dataloaders = r > 1 reproduces the reference's r-parallel-loader
+    pairing (segmentation_twohead.py:262-303): each training batch is the
+    same ``dataloader_batch_sz`` base images repeated r times, every repeat
+    with an independent geometry/augmentation draw, for a total of
+    ``batch_sz`` pairs per step.
+
     ``use_native=True`` (default: auto) routes the per-sample host geometry
     (scale / pad+crop / label remap+mask) through the threaded C++ library
     (iic_tpu/native/seg_prep.cpp) instead of the per-sample numpy path —
@@ -229,9 +235,12 @@ class SegTrainPipeline:
                  else np.arange(self.total))
         root = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919), epoch_idx)
+        r = self.config.num_dataloaders
         pending = None  # one-deep prefetch: overlap upload with the step
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
+            if r > 1:  # r independent draws of the same base images
+                idxs = np.concatenate([idxs] * r)
             if self._native is not None:
                 imgs, masks = self._native_batch(idxs, rng)
             else:

@@ -167,6 +167,14 @@ class SegConfig:
     jitter_saturation: float = 0.4
     jitter_hue: float = 0.125
     flip_p: float = 0.5
+    # random affine of img2 (reference segmentation_twohead.py:108-115)
+    use_random_affine: bool = False
+    aff_min_rot: float = -30.0
+    aff_max_rot: float = 30.0
+    aff_min_shear: float = -10.0
+    aff_max_shear: float = 10.0
+    aff_min_scale: float = 0.8
+    aff_max_scale: float = 1.2
     no_pre_eval: bool = False
     # loss geometry
     half_T_side_dense: int = 0

@@ -109,3 +109,23 @@ def test_in_channels_table():
     s = SegConfig(dataset="Potsdam", gt_k=3, include_rgb=True,
                   no_sobel=False).finalize()
     assert s.in_channels == 6  # rgb + dx + dy + ir
+
+
+def test_seg_random_affine_flags_parse():
+    """The reference's seg affine flag family (segmentation_twohead.py:
+    108-115) must be settable from the CLI and reach the augment config."""
+    from iic_tpu.cli._args import parse_seg_args
+    cfg = parse_seg_args([
+        "--use_random_affine", "--aff_min_rot", "-20", "--aff_max_rot",
+        "20", "--aff_min_shear", "-5", "--aff_max_shear", "5",
+        "--aff_min_scale", "0.9", "--aff_max_scale", "1.3"])
+    cfg.finalize(twohead=True)
+    assert cfg.use_random_affine
+    assert cfg.aff_min_rot == -20.0 and cfg.aff_max_rot == 20.0
+    assert cfg.aff_min_shear == -5.0 and cfg.aff_max_shear == 5.0
+    assert cfg.aff_min_scale == 0.9 and cfg.aff_max_scale == 1.3
+    # defaults mirror the reference's
+    d = parse_seg_args([])
+    assert (d.aff_min_rot, d.aff_max_rot) == (-30.0, 30.0)
+    assert (d.aff_min_scale, d.aff_max_scale) == (0.8, 1.2)
+    assert not d.use_random_affine

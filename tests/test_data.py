@@ -235,3 +235,75 @@ def test_synthetic_is_clusterable():
     within = np.corrcoef(c0[0], c0[1])[0, 1]
     across = np.corrcoef(c0[0], c1[0])[0, 1]
     assert within > across
+
+
+def _write_image_folder(root, sizes_by_class):
+    """Create class-per-subfolder pngs; returns total count."""
+    import cv2
+    n = 0
+    for cname, sizes in sizes_by_class.items():
+        cdir = os.path.join(root, cname)
+        os.makedirs(cdir, exist_ok=True)
+        for i, (h, w) in enumerate(sizes):
+            img = np.full((h, w, 3), 30 * (n + 1) % 255, np.uint8)
+            cv2.imwrite(os.path.join(cdir, f"im_{i}.png"), img)
+            n += 1
+    return n
+
+
+def test_image_folder_reader(tmp_path):
+    """ImageFolder conventions: classes sorted alphabetically, files sorted,
+    mixed sizes resized to the modal (h, w)."""
+    root = str(tmp_path)
+    _write_image_folder(os.path.join(root, "train"),
+                        {"b_class": [(20, 20), (20, 20)],
+                         "a_class": [(20, 20), (16, 24)]})
+    d = readers.load_image_folder(root, "train")
+    assert d["images"].shape == (4, 20, 20, 3)
+    # a_class sorts first -> label 0
+    np.testing.assert_array_equal(d["labels"], [0, 0, 1, 1])
+
+
+def test_create_basic_clustering_dataloaders_imagefolder(tmp_path):
+    """The README-advertised public API over a user image directory
+    (reference data.py:502-601): deterministic shuffled order, twohead
+    pipelines, mapping loaders only when dataset_root/none exists."""
+    from types import SimpleNamespace
+    from iic_tpu.data.pipeline import create_basic_clustering_dataloaders
+
+    root = str(tmp_path)
+    _write_image_folder(os.path.join(root, "train"),
+                        {"a": [(24, 24)] * 6, "b": [(24, 24)] * 6})
+    cfg = SimpleNamespace(
+        dataset="ImageFolder", dataset_root=root, mode="IID",
+        batch_sz=4, num_dataloaders=2, input_sz=16, gt_k=2,
+        crop_orig=True, rand_crop_sz=20, include_rgb=True,
+        fluid_warp=False, cutout=False, demean=False,
+        per_img_demean=False, batchnorm_track=True)
+    pa, pb, ma, mt = create_basic_clustering_dataloaders(cfg)
+    assert ma is None and mt is None  # no dataset_root/none directory
+
+    base, key = next(pa.epoch(0, augmented=False))
+    assert base.shape == (2, 24, 24, 3)  # dataloader_batch_sz = 4 // 2
+    imgs, imgs_tf = pa.augment_pair(base, key)
+    assert imgs.shape == (4, 4, 16, 16)  # b*r, rgb+grey, sz, sz
+
+    # deterministic shuffle: same epoch -> same order; not plain sequential
+    b0 = np.asarray(next(pa.epoch(0, augmented=False))[0])
+    b0_again = np.asarray(next(pa.epoch(0, augmented=False))[0])
+    np.testing.assert_array_equal(b0, b0_again)
+    orders = [np.asarray(next(pa.epoch(e, augmented=False))[0])
+              for e in range(4)]
+    assert any(np.any(orders[i] != orders[0]) for i in range(1, 4))
+    # both heads see the same deterministic order
+    np.testing.assert_array_equal(
+        b0, np.asarray(next(pb.epoch(0, augmented=False))[0]))
+
+    # with a labelled "none" dir, mapping loaders appear
+    _write_image_folder(os.path.join(root, "none"),
+                        {"a": [(24, 24)] * 2, "b": [(24, 24)] * 2})
+    cfg2 = SimpleNamespace(**{**vars(cfg)})
+    _, _, ma2, mt2 = create_basic_clustering_dataloaders(cfg2)
+    imgs, labels = next(iter(ma2))
+    assert imgs.shape == (4, 4, 16, 16)
+    np.testing.assert_array_equal(sorted(labels), [0, 0, 1, 1])

@@ -150,3 +150,24 @@ def test_potsdam_ir_channel_layout():
     np.testing.assert_allclose(
         np.asarray(img1)[:, 4], np.asarray(imgs)[..., 3] / 255.0,
         atol=1e-6)
+
+
+def test_seg_num_dataloaders_repeat_pairing():
+    """num_dataloaders=r>1: each batch is the same dataloader_batch_sz base
+    images repeated r times with independent augmentation draws (reference
+    segmentation_twohead.py:262-303 assembles r parallel sub-batches)."""
+    # input_sz == raw size 48 makes the host crop deterministic, so the
+    # repeats' raw images must be bit-identical.
+    cfg = _seg_cfg(num_dataloaders=2, batch_sz=8, dataloader_batch_sz=4,
+                   input_sz=48, use_random_affine=False)
+    pipe = SegTrainPipeline(cfg, ["train"])
+    imgs_u8, masks_u8, key = next(pipe.epoch(0, augmented=False))
+    assert imgs_u8.shape[0] == 8  # dataloader_batch_sz * r
+    np.testing.assert_array_equal(np.asarray(imgs_u8)[:4],
+                                  np.asarray(imgs_u8)[4:])
+    img1, img2, aff, mask = next(pipe.epoch(0, augmented=True))
+    assert img1.shape[0] == 8
+    # repeats share the base image but get independent img2 jitter draws
+    assert np.abs(np.asarray(img2)[:4] - np.asarray(img2)[4:]).max() > 1e-3
+    # an epoch still visits every image once per loader
+    assert len(pipe) == int(np.ceil(32 / 4))

@@ -7,6 +7,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
+
 
 @pytest.fixture(scope="module")
 def stored_run(tmp_path_factory):

@@ -7,6 +7,8 @@ import pytest
 
 from iic_tpu.ops.baselines import isola_loss, triplets_loss
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
+
 
 def test_triplets_loss_matches_torch():
     torch = pytest.importorskip("torch")

@@ -6,6 +6,9 @@ import glob
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
 
 
 def test_twohead_trainer_with_mesh_and_profile(tmp_path):

@@ -9,6 +9,8 @@ from iic_tpu.ops.iid_seg_loss import (
     IID_segmentation_loss_uncollapsed, displacement_joint_dense,
     displacement_joint_dense_fft)
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
+
 
 def test_fft_joint_matches_conv():
     rng = np.random.default_rng(0)

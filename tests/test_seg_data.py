@@ -116,6 +116,7 @@ def test_seg_pipeline_flip_negates_affine_row():
                                int((~flipped).sum()), atol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy end-to-end trainer
 def test_seg_trainer_smoke(tmp_path):
     from iic_tpu.train.config import SegConfig
     from iic_tpu.train.seg_trainer import train_segmentation_twohead

@@ -2,10 +2,13 @@
 finetune-from-pretrained-run flow on synthetic data."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from iic_tpu.data.semisup import make_tencrop_batch_fn, ten_crop
+
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
 
 
 def test_ten_crop_structure():

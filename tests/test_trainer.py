@@ -11,6 +11,8 @@ from iic_tpu.train import (
     ClusterConfig, set_lr_mult, train_cluster_single, train_cluster_twohead)
 from iic_tpu.train import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end suite
+
 
 def _cfg(tmp_path, **kw):
     cfg = ClusterConfig(

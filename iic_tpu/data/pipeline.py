@@ -56,8 +56,13 @@ class ClusterTrainPipeline:
     """One object replaces the reference's list of parallel dataloaders."""
 
     def __init__(self, config, partitions, seed=0, drop_last=False,
-                 deterministic_shuffle=False):
+                 deterministic_shuffle=False, process_shard=None):
         self.config = config
+        # Multi-host: every process computes the same global batch order but
+        # loads/uploads only its contiguous sub-block; the trainer assembles
+        # the global array with parallel.make_global_batch. process_shard =
+        # (process_index, process_count), default from the jax runtime.
+        self.process_shard = process_shard
         self.num_dataloaders = config.num_dataloaders
         self.dataloader_batch_sz = config.batch_sz // config.num_dataloaders
         self.seed = seed
@@ -115,13 +120,29 @@ class ClusterTrainPipeline:
                 [self.seed, epoch_idx])).permutation(len(self.images))
         else:
             order = None
+        pi, pc = self.process_shard or (
+            jax.process_index(), jax.process_count())
+        if pc > 1:
+            assert bsz % pc == 0, (bsz, pc)
+            assert not augmented, "multi-host yields host-local shards"
         pending = None
         for b_i in range(self.num_batches):
+            lo, hi = b_i * bsz, (b_i + 1) * bsz
+            if pc > 1:  # this process's contiguous sub-block
+                shard = bsz // pc
+                lo, hi = lo + pi * shard, lo + (pi + 1) * shard
             if order is None:
-                batch = self.images[b_i * bsz:(b_i + 1) * bsz]
+                batch = self.images[lo:hi]
             else:
-                batch = self.images[order[b_i * bsz:(b_i + 1) * bsz]]
+                batch = self.images[order[lo:hi]]
             key = jax.random.fold_in(root, b_i)
+            if pc > 1:
+                # host-local numpy shard; the trainer builds the global
+                # array over the multi-host mesh (make_global_batch)
+                if pending is not None:
+                    yield pending
+                pending = (batch, key)
+                continue
             batch_dev = jax.device_put(batch)  # async upload
             if pending is not None:
                 yield pending

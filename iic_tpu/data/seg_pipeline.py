@@ -105,9 +105,13 @@ class SegTrainPipeline:
     same random draws, same coordinate conventions."""
 
     def __init__(self, config, partitions, seed=0, use_native=None,
-                 drop_last=False):
+                 drop_last=False, process_shard=None):
         self.config = config
         self.seed = seed
+        # (process_index, process_count) — multi-host input sharding; every
+        # process computes the same global order/draws but preps only its
+        # contiguous sub-block of each batch (see ClusterTrainPipeline).
+        self.process_shard = process_shard
         self.datasets = [build_seg_dataset(config, p, "train")
                          for p in partitions]
         self.lengths = [len(d) for d in self.datasets]
@@ -229,18 +233,31 @@ class SegTrainPipeline:
         return imgs_out, masks_out
 
     def epoch(self, epoch_idx, augmented=False):
-        rng = np.random.default_rng(
+        pi, pc = self.process_shard or (
+            jax.process_index(), jax.process_count())
+        # the visiting order is GLOBAL (identical on every process); the
+        # per-sample geometry rng is per-process so shards' augmentation
+        # draws are decorrelated
+        order_rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch_idx]))
-        order = (rng.permutation(self.total) if self.shuffle
+        order = (order_rng.permutation(self.total) if self.shuffle
                  else np.arange(self.total))
+        rng = (order_rng if pc == 1 else np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch_idx, 97, pi])))
         root = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919), epoch_idx)
         r = self.config.num_dataloaders
+        if pc > 1:
+            assert self.batch_sz % pc == 0, (self.batch_sz, pc)
+            assert not augmented, "multi-host yields host-local shards"
         pending = None  # one-deep prefetch: overlap upload with the step
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
             if r > 1:  # r independent draws of the same base images
                 idxs = np.concatenate([idxs] * r)
+            if pc > 1:  # prep only this process's contiguous sub-block
+                shard = len(idxs) // pc
+                idxs = idxs[pi * shard:(pi + 1) * shard]
             if self._native is not None:
                 imgs, masks = self._native_batch(idxs, rng)
             else:
@@ -248,6 +265,11 @@ class SegTrainPipeline:
                 imgs = np.stack([s[0] for s in samples])
                 masks = np.stack([s[1] for s in samples])
             key = jax.random.fold_in(root, b_i)
+            if pc > 1:
+                if pending is not None:
+                    yield pending
+                pending = (imgs, masks, key)
+                continue
             imgs_dev = jax.device_put(imgs)
             masks_dev = jax.device_put(masks)
             if pending is not None:

@@ -42,3 +42,21 @@ def make_global_batch(mesh, local_batch, axis_name="data"):
 
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def make_batch_globalizer(mesh, axis_name="data"):
+    """Per-step batch placement for the trainers.
+
+    Single-process (incl. single-process multi-device): identity — jit
+    shards host arrays onto the mesh itself. Multi-host: each pipeline
+    yields only this process's shard (numpy); assemble every batch leaf
+    into one globally-sharded jax.Array over the DCN+ICI mesh."""
+    if mesh is None or jax.process_count() == 1:
+        return lambda batch: batch
+
+    def globalize(batch):
+        return jax.tree_util.tree_map(
+            lambda x: make_global_batch(mesh, np.asarray(x), axis_name),
+            batch)
+
+    return globalize

@@ -24,6 +24,7 @@ from iic_tpu.data.pipeline import cluster_twohead_create_dataloaders
 from iic_tpu.evals import EvalHistory, cluster_eval, get_subhead_using_loss
 from iic_tpu.parallel import (
     create_train_state, make_apply_fn, make_cluster_train_step, make_mesh)
+from iic_tpu.parallel.mesh import make_batch_globalizer
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.config import config_to_str
 
@@ -151,6 +152,7 @@ def train_cluster_twohead(config):
     mesh = None
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
+    to_global = make_batch_globalizer(mesh)
 
     lamb_a = getattr(config, "lamb_A", config.lamb)
     lamb_b = getattr(config, "lamb_B", config.lamb)
@@ -205,7 +207,8 @@ def train_cluster_twohead(config):
             for _ in range(head_epochs[head]):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
-                    state, loss, loss_nl = steps[head](state, base, key)
+                    state, loss, loss_nl = steps[head](
+                        state, to_global(base), key)
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -288,6 +291,7 @@ def train_cluster_single(config):
     mesh = None
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
+    to_global = make_batch_globalizer(mesh)
 
     step = make_cluster_train_step(
         net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
@@ -321,7 +325,7 @@ def train_cluster_single(config):
         avg_loss = avg_loss_nl = 0.0
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(state, base, key)
+            state, loss, loss_nl = step(state, to_global(base), key)
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -19,6 +19,7 @@ from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
 from iic_tpu.evals.segmentation_eval import segmentation_eval
 from iic_tpu.parallel import (
     create_train_state, make_mesh, make_seg_apply_fn, make_seg_train_step)
+from iic_tpu.parallel.mesh import make_batch_globalizer
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
     _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
@@ -63,6 +64,7 @@ def train_segmentation_twohead(config):
     mesh = None
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
+    to_global = make_batch_globalizer(mesh)
 
     common = dict(
         half_T_side_dense=config.half_T_side_dense,
@@ -120,7 +122,7 @@ def train_segmentation_twohead(config):
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
                     state, loss, loss_nl = steps[head](
-                        state, (imgs, masks), key)
+                        state, to_global((imgs, masks)), key)
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -173,6 +175,7 @@ def train_segmentation_single(config):
     mesh = None
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
+    to_global = make_batch_globalizer(mesh)
 
     step = make_seg_train_step(
         net, tx, lamb=config.lamb, head=None,
@@ -218,7 +221,7 @@ def train_segmentation_single(config):
         count = 0
         for b_i, (imgs, masks, key) in enumerate(
                 pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(state, (imgs, masks), key)
+            state, loss, loss_nl = step(state, to_global((imgs, masks)), key)
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -32,12 +32,11 @@ def _state_to_bytes(state):
     return serialization.to_bytes(pure)
 
 
-def save_checkpoint(config, state, history, name="latest", last_epoch=None):
-    """Write <name>.ckpt + config.pickle + config.txt.
-    ``last_epoch`` mirrors config.last_epoch (restart bookmark)."""
+def _write_meta(config, history, last_epoch, name):
+    """config.pickle + config.txt each save; additionally snapshot
+    best_config.pickle when saving a best checkpoint, like the reference's
+    separate best-epoch config dump (cluster_sobel_twohead.py:444-449)."""
     d = run_dir(config)
-    with open(os.path.join(d, f"{name}.ckpt"), "wb") as f:
-        f.write(_state_to_bytes(state))
     meta = {
         "config": dataclasses.asdict(config),
         "history": history,
@@ -45,8 +44,24 @@ def save_checkpoint(config, state, history, name="latest", last_epoch=None):
     }
     with open(os.path.join(d, "config.pickle"), "wb") as f:
         pickle.dump(meta, f)
+    if name == "best":
+        with open(os.path.join(d, "best_config.pickle"), "wb") as f:
+            pickle.dump(meta, f)
     with open(os.path.join(d, "config.txt"), "w") as f:
         f.write(config_to_str(config) + f"\nlast_epoch: {last_epoch}\n")
+
+
+def save_checkpoint(config, state, history, name="latest", last_epoch=None):
+    """Write <name>.ckpt + config.pickle + config.txt (+ best_config.pickle
+    for best saves). ``last_epoch`` mirrors config.last_epoch (restart
+    bookmark). ``config.use_orbax`` routes through the Orbax backend."""
+    if getattr(config, "use_orbax", False):
+        return save_checkpoint_orbax(config, state, history, name=name,
+                                     last_epoch=last_epoch)
+    d = run_dir(config)
+    with open(os.path.join(d, f"{name}.ckpt"), "wb") as f:
+        f.write(_state_to_bytes(state))
+    _write_meta(config, history, last_epoch, name)
 
 
 def save_checkpoint_orbax(config, state, history, name="latest",
@@ -66,10 +81,7 @@ def save_checkpoint_orbax(config, state, history, name="latest",
     }
     ckptr.save(path, pure, force=True)
     ckptr.wait_until_finished()
-    meta = {"config": dataclasses.asdict(config), "history": history,
-            "last_epoch": last_epoch}
-    with open(os.path.join(d, "config.pickle"), "wb") as f:
-        pickle.dump(meta, f)
+    _write_meta(config, history, last_epoch, name)
 
 
 def load_checkpoint_orbax(config, state_template, name="latest"):
@@ -97,7 +109,10 @@ def load_checkpoint_orbax(config, state_template, name="latest"):
 
 def load_checkpoint(config, state_template, name="latest"):
     """Restore (state, history, last_epoch) from a run dir. The template
-    provides the pytree structure (same shapes as at save time)."""
+    provides the pytree structure (same shapes as at save time).
+    ``config.use_orbax`` routes through the Orbax backend."""
+    if getattr(config, "use_orbax", False):
+        return load_checkpoint_orbax(config, state_template, name=name)
     d = run_dir(config)
     with open(os.path.join(d, f"{name}.ckpt"), "rb") as f:
         raw = f.read()

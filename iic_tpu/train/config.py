@@ -84,6 +84,7 @@ class ClusterConfig:
     seed: int = 0
     eval_batch_sz: Optional[int] = None
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
+    use_orbax: bool = False  # Orbax checkpoint backend
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
@@ -189,6 +190,7 @@ class SegConfig:
     eval_batch_sz: Optional[int] = None
     exact_warp: bool = False  # True: torch-parity gather warp in the loss
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
+    use_orbax: bool = False  # Orbax checkpoint backend
 
     # derived
     twohead: bool = True

@@ -274,8 +274,10 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
     T x T displacement joints is normalised and symmetrised independently;
     result divided by T^2. Returns ``(loss, loss_no_lamb)``.
 
-    joint_impl: "conv" (exact-parity conv) or "fft" (the T-independent
-    spectral formulation — the training-step default on TPU).
+    joint_impl: "conv" (exact-parity conv), "fft" (the T-independent
+    spectral formulation), or "pallas" (fused stacked-shift GEMM kernel,
+    ops/pallas/seg_joint_kernel.py). Training default is chosen by
+    measurement on the real chip (see bench.py).
     """
     x1m, x2m = _warp_mask(
         x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
@@ -285,8 +287,13 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
     k = x1_outs.shape[1]
     t_side = half_T_side_dense * 2 + 1
 
-    joint_fn = (displacement_joint_dense_fft if joint_impl == "fft"
-                else displacement_joint_dense)
+    if joint_impl == "pallas":
+        from iic_tpu.ops.pallas import displacement_joint_dense_pallas
+        joint_fn = displacement_joint_dense_pallas
+    elif joint_impl == "fft":
+        joint_fn = displacement_joint_dense_fft
+    else:
+        joint_fn = displacement_joint_dense
     p = joint_fn(x1m, x2m, half_T_side_dense)  # (k, k, T, T)
     if axis_name is not None:
         p = jax.lax.psum(p, axis_name)

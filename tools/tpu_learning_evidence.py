@@ -1,0 +1,104 @@
+"""TPU learning evidence for VALIDATION.md (run on the real chip):
+
+1. ClusterNet5gTwoHead (ResNet-34 trunk, sobel path) unsupervised
+   clustering on CIFAR-shaped synthetic data — best sub-head accuracy must
+   end well above chance.
+2. Semisup flow: ClusterNet5g IID+ overclustering pretrain, then SupHead5
+   finetune — the supervised finetune must improve on the overclustering
+   mapped accuracy.
+
+Writes one JSON line per experiment to stdout and a summary to
+/tmp/evidence/summary.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "/tmp/evidence"
+
+
+def run_twohead():
+    from iic_tpu.train.config import ClusterConfig
+    from iic_tpu.train import train_cluster_twohead
+
+    cfg = ClusterConfig(
+        model_ind=201, arch="ClusterNet5gTwoHead", mode="IID",
+        dataset="Synthetic10x32x3x2048", dataset_root="",
+        gt_k=10, output_k_A=20, output_k_B=10,
+        lr=1e-3, num_epochs=16, batch_sz=240, num_dataloaders=2,
+        num_sub_heads=2, out_root=OUT,
+        crop_orig=True, rand_crop_sz=28, input_sz=32, include_rgb=True,
+        batchnorm_track=True, save_freq=5)
+    cfg.finalize(twohead=True, sobel=True)
+    assert cfg.in_channels == 5
+    state, history = train_cluster_twohead(cfg)
+    accs = [float(a) for a in history["eval"].epoch_acc]
+    result = {
+        "experiment": "ClusterNet5gTwoHead sobel synthetic-CIFAR",
+        "chance": 1.0 / cfg.gt_k,
+        "pre_acc": accs[0],
+        "best_acc": max(accs),
+        "final_acc": accs[-1],
+        "epochs": len(accs) - 1,
+        "config": {"arch": cfg.arch, "dataset": cfg.dataset,
+                   "batch_sz": cfg.batch_sz, "lr": cfg.lr,
+                   "output_k_A": cfg.output_k_A,
+                   "output_k_B": cfg.output_k_B,
+                   "num_sub_heads": cfg.num_sub_heads,
+                   "input_sz": cfg.input_sz,
+                   "rand_crop_sz": cfg.rand_crop_sz},
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def run_semisup():
+    from iic_tpu.train.config import ClusterConfig, SemisupConfig
+    from iic_tpu.train import train_cluster_single
+    from iic_tpu.train.semisup_trainer import train_semisup
+
+    old_cfg = ClusterConfig(
+        model_ind=202, arch="ClusterNet5g", mode="IID+",
+        dataset="Synthetic10x32x3x2048", dataset_root="",
+        gt_k=10, output_k=30, lr=1e-3, num_epochs=8, batch_sz=240,
+        num_dataloaders=2, num_sub_heads=1, out_root=OUT,
+        crop_orig=True, rand_crop_sz=28, input_sz=32, include_rgb=True,
+        batchnorm_track=True, save_freq=2)
+    old_cfg.finalize(twohead=False, sobel=True)
+    _, old_history = train_cluster_single(old_cfg)
+    over_accs = [float(a) for a in old_history["eval"].epoch_acc]
+
+    cfg = SemisupConfig(
+        model_ind=203, old_model_ind=202, head_lr=1e-2, trunk_lr=1e-4,
+        num_epochs=10, new_batch_sz=240, out_root=OUT, contiguous_sz=10)
+    cfg.finalize()
+    _, history = train_semisup(cfg)
+    fin_accs = [float(a) for a in history["epoch_acc"]]
+    result = {
+        "experiment": "SupHead5 finetune over ClusterNet5g IID+ "
+                      "overclustering (synthetic-CIFAR)",
+        "chance": 0.1,
+        "overclustering_best_acc": max(over_accs),
+        "finetune_best_acc": max(fin_accs),
+        "finetune_final_loss": float(history["epoch_loss"][-1]),
+        "config": {"old_arch": old_cfg.arch, "output_k": old_cfg.output_k,
+                   "head_lr": cfg.head_lr, "trunk_lr": cfg.trunk_lr,
+                   "epochs": cfg.num_epochs},
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    results = []
+    if which in ("all", "twohead"):
+        results.append(run_twohead())
+    if which in ("all", "semisup"):
+        results.append(run_semisup())
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(results, f, indent=1)

@@ -82,7 +82,8 @@ def _sync_batch_stats(bs, axis_name):
 def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                             sobel=False, include_rgb=False,
                             mesh=None, axis_name="data",
-                            joint_mode="global", loss_impl="xla"):
+                            joint_mode="global", loss_impl="xla",
+                            fused_pair_forward=False):
     """Build the jitted clustering train step for one head.
 
     step(state, base_u8 (b, H, W, C) uint8, key) ->
@@ -92,7 +93,11 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
     augmentation fused on device. ``loss_impl="pallas"`` routes each
     sub-head's loss through the fused single-pass kernel (single-device
     only: the sharded global-joint mode needs the psum between joint and
-    log terms).
+    log terms). ``fused_pair_forward`` runs ONE forward over the
+    concatenated (imgs, imgs_tf) 2B batch instead of two B forwards —
+    fewer launches / larger matmuls; BN batch statistics are then
+    computed over the union of both views (the reference computes them
+    per view), so it is a documented opt-in deviation.
     """
     if loss_impl == "pallas":
         assert mesh is None, "fused kernel is per-shard; use xla with mesh"
@@ -108,10 +113,19 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
 
         head_kw = {} if head is None else {"head": head}
 
-        def loss_fn(params):
-            out, bs = _forward(net, params, state.batch_stats, imgs,
-                               **head_kw)
+        def _pair_forward(params, batch_stats):
+            if fused_pair_forward:
+                both, bs = _forward(net, params, batch_stats,
+                                    jnp.concatenate([imgs, imgs_tf]),
+                                    **head_kw)
+                out, out_tf = jnp.split(both, 2, axis=1)
+                return out, out_tf, bs
+            out, bs = _forward(net, params, batch_stats, imgs, **head_kw)
             out_tf, bs = _forward(net, params, bs, imgs_tf, **head_kw)
+            return out, out_tf, bs
+
+        def loss_fn(params):
+            out, out_tf, bs = _pair_forward(params, state.batch_stats)
             if loss_impl == "pallas":
                 from iic_tpu.ops.pallas import iid_loss_fused
                 pairs = [iid_loss_fused(out[i], out_tf[i], lamb)
@@ -149,12 +163,15 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         sobel=False, include_rgb=False, using_IR=False,
                         use_uncollapsed_loss=False, augment=None,
                         warp_impl="matmul", joint_impl="fft",
-                        mesh=None, axis_name="data", joint_mode="global"):
+                        mesh=None, axis_name="data", joint_mode="global",
+                        fused_pair_forward=False):
     """Build the jitted segmentation train step for one head.
 
     Without ``augment``: step(state, (img1, img2, affine2_to_1, mask), key).
     With ``augment`` (fused pipeline): step(state, (imgs_u8, masks_u8), key)
     and the paired augmentation runs inside the same jitted program.
+    ``fused_pair_forward``: one 2B forward over concat(img1, img2) — see
+    make_cluster_train_step (BN stats over the union of views).
 
     Mirrors segmentation_twohead.py:262-357.
     """
@@ -182,9 +199,15 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
         head_kw = {} if head is None else {"head": head}
 
         def loss_fn(params):
-            out1, bs = _forward(net, params, state.batch_stats, img1,
-                                **head_kw)
-            out2, bs = _forward(net, params, bs, img2, **head_kw)
+            if fused_pair_forward:
+                both, bs = _forward(net, params, state.batch_stats,
+                                    jnp.concatenate([img1, img2]),
+                                    **head_kw)
+                out1, out2 = jnp.split(both, 2, axis=1)
+            else:
+                out1, bs = _forward(net, params, state.batch_stats, img1,
+                                    **head_kw)
+                out2, bs = _forward(net, params, bs, img2, **head_kw)
             # out: (num_sub_heads, b, k, h, w)
             sub_keys = jax.random.split(key, out1.shape[0])
             losses, losses_nl = jax.vmap(

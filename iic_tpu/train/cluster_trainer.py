@@ -162,11 +162,15 @@ def train_cluster_twohead(config):
         "A": make_cluster_train_step(
             net, tx, pipe_a.augment_pair, lamb=lamb_a, head="A",
             sobel=config.sobel, include_rgb=config.include_rgb,
-            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl),
+            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl,
+            fused_pair_forward=getattr(config, "fused_pair_forward",
+                                       False)),
         "B": make_cluster_train_step(
             net, tx, pipe_b.augment_pair, lamb=lamb_b, head="B",
             sobel=config.sobel, include_rgb=config.include_rgb,
-            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl),
+            mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl,
+            fused_pair_forward=getattr(config, "fused_pair_forward",
+                                       False)),
     }
     pipes = {"A": pipe_a, "B": pipe_b}
 

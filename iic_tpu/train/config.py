@@ -86,6 +86,7 @@ class ClusterConfig:
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
+    fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)
@@ -191,6 +192,7 @@ class SegConfig:
     exact_warp: bool = False  # True: torch-parity gather warp in the loss
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
     use_orbax: bool = False  # Orbax checkpoint backend
+    fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
 
     # derived
     twohead: bool = True

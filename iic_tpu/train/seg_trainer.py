@@ -74,7 +74,8 @@ def train_segmentation_twohead(config):
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
         warp_impl="gather" if config.exact_warp else "matmul",
-        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
+        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode,
+        fused_pair_forward=getattr(config, "fused_pair_forward", False))
     steps = {
         "A": make_seg_train_step(net, tx, lamb=config.lamb_A, head="A",
                                  **common),
@@ -186,7 +187,8 @@ def train_segmentation_single(config):
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
         warp_impl="gather" if config.exact_warp else "matmul",
-        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode)
+        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode,
+        fused_pair_forward=getattr(config, "fused_pair_forward", False))
 
     history = _make_history()
     next_epoch = 1

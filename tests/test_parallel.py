@@ -143,3 +143,45 @@ def test_track_false_no_batch_stats():
     state2, loss, _ = step(state, base, key)
     assert np.isfinite(float(loss))
     assert state2.batch_stats == {}
+
+
+def test_fused_pair_forward_step():
+    """fused_pair_forward=True: one 2B forward per step. Identical to the
+    two-forward path when BN is absent from the stats equation (first step,
+    identical halves give out == out_tf), and always runs/learns."""
+    import optax
+    from types import SimpleNamespace
+    from iic_tpu import models
+    from iic_tpu.data.pipeline import ClusterTrainPipeline
+    from iic_tpu.parallel import create_train_state, make_cluster_train_step
+
+    cfg = SimpleNamespace(
+        dataset="Synthetic6x24x1x64", dataset_root="", mode="IID",
+        batch_sz=16, num_dataloaders=1, input_sz=20, gt_k=6,
+        output_k_A=12, output_k_B=6, num_sub_heads=1,
+        crop_orig=True, crop_other=True, tf1_crop="centre",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=(20,),
+        tf3_crop_diff=False, tf3_crop_sz=20, rot_val=0.0,
+        always_rot=False, no_flip=True, no_jitter=True,
+        mix_train=False, batchnorm_track=True)
+    pipe = ClusterTrainPipeline(cfg, [True])
+    net = models.build("ClusterNet6cTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 1, 20, 20)))
+    tx = optax.adam(1e-3)
+
+    base = jnp.asarray(pipe.images[:16])
+    key = jax.random.PRNGKey(5)
+    losses = {}
+    for fused in (False, True):
+        step = make_cluster_train_step(
+            net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+            fused_pair_forward=fused)
+        state = create_train_state(variables, tx)
+        state, loss, loss_nl = step(state, base, key)
+        assert np.isfinite(float(loss))
+        losses[fused] = float(loss)
+    # same data, same augmentation draws; only the BN batch-stats
+    # population differs (union of views vs per view) -> close but the
+    # fused path is a real distinct program
+    np.testing.assert_allclose(losses[True], losses[False], atol=0.05)

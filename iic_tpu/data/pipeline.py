@@ -56,13 +56,17 @@ class ClusterTrainPipeline:
     """One object replaces the reference's list of parallel dataloaders."""
 
     def __init__(self, config, partitions, seed=0, drop_last=False,
-                 deterministic_shuffle=False, process_shard=None):
+                 deterministic_shuffle=False, process_shard=None,
+                 preloaded=None):
         self.config = config
         # Multi-host: every process computes the same global batch order but
         # loads/uploads only its contiguous sub-block; the trainer assembles
         # the global array with parallel.make_global_batch. process_shard =
         # (process_index, process_count), default from the jax runtime.
         self.process_shard = process_shard
+        # preloaded=(images, labels) shares decoded arrays between
+        # pipelines over the same partitions (no re-decode, no extra copy)
+        self._preloaded = preloaded
         self.num_dataloaders = config.num_dataloaders
         self.dataloader_batch_sz = config.batch_sz // config.num_dataloaders
         self.seed = seed
@@ -73,7 +77,9 @@ class ClusterTrainPipeline:
         # Ours derives the epoch's permutation from (seed, epoch), which is
         # additionally restart-reproducible.
         self.deterministic_shuffle = deterministic_shuffle
-        self.images, self.labels = _load_partitions(config, partitions)
+        self.images, self.labels = (
+            preloaded if preloaded is not None
+            else _load_partitions(config, partitions))
         rounder = np.floor if drop_last else np.ceil
         self.num_batches = max(int(rounder(
             len(self.images) / self.dataloader_batch_sz)), 1)
@@ -125,6 +131,10 @@ class ClusterTrainPipeline:
         if pc > 1:
             assert bsz % pc == 0, (bsz, pc)
             assert not augmented, "multi-host yields host-local shards"
+            # a ragged final batch would give unequal per-process shards
+            assert self.drop_last or len(self.images) % bsz == 0, (
+                "multi-host needs drop_last=True or a divisible dataset "
+                f"({len(self.images)} % {bsz} != 0)")
         pending = None
         for b_i in range(self.num_batches):
             lo, hi = b_i * bsz, (b_i + 1) * bsz
@@ -163,10 +173,12 @@ class MappingLoader:
     (code/datasets/clustering/truncated_dataset.py:5-20)."""
 
     def __init__(self, config, partitions, batch_sz=None,
-                 truncate_pc=None, truncate_seed=0):
+                 truncate_pc=None, truncate_seed=0, preloaded=None):
         self.config = config
         self.batch_sz = batch_sz or config.batch_sz
-        self.images, self.labels = _load_partitions(config, partitions)
+        self.images, self.labels = (
+            preloaded if preloaded is not None
+            else _load_partitions(config, partitions))
         if truncate_pc is not None:
             n = int(len(self.images) * truncate_pc)
             rng = np.random.default_rng(truncate_seed)
@@ -266,15 +278,19 @@ def create_basic_clustering_dataloaders(config, seed=0):
     config.train_partitions_head_B = train
     pipe_a = ClusterTrainPipeline(config, train, seed=seed,
                                   deterministic_shuffle=True)
-    pipe_b = ClusterTrainPipeline(config, train, seed=seed,
-                                  deterministic_shuffle=True)
+    # head B sees the same data/order — share the decoded arrays
+    pipe_b = ClusterTrainPipeline(
+        config, train, seed=seed, deterministic_shuffle=True,
+        preloaded=(pipe_a.images, pipe_a.labels))
 
     map_assign = map_test = None
     if os.path.isdir(os.path.join(config.dataset_root, "none")):
         config.mapping_assignment_partitions = ["none"]
         config.mapping_test_partitions = ["none"]
         map_assign = MappingLoader(config, ["none"])
-        map_test = MappingLoader(config, ["none"])
+        map_test = MappingLoader(config, ["none"],
+                                 preloaded=(map_assign.images,
+                                            map_assign.labels))
     return pipe_a, pipe_b, map_assign, map_test
 
 

@@ -176,8 +176,9 @@ def load_image_folder(root, subdir):
 
     shapes = [im.shape[:2] for im in imgs]
     if len(set(shapes)) > 1:
-        hs, ws = zip(*shapes)
-        modal = (max(set(hs), key=hs.count), max(set(ws), key=ws.count))
+        # mode over full (h, w) tuples — per-axis modes can combine into a
+        # shape no image has
+        modal = max(set(shapes), key=shapes.count)
         imgs = [im if im.shape[:2] == modal else
                 cv2.resize(im, (modal[1], modal[0]),
                            interpolation=cv2.INTER_LINEAR)

@@ -117,6 +117,7 @@ class SegTrainPipeline:
         self.lengths = [len(d) for d in self.datasets]
         self.total = sum(self.lengths)
         self.batch_sz = config.dataloader_batch_sz
+        self.drop_last = drop_last
         rounder = np.floor if drop_last else np.ceil
         self.num_batches = max(int(rounder(self.total / self.batch_sz)), 1)
         self.shuffle = config.num_dataloaders == 1
@@ -250,6 +251,10 @@ class SegTrainPipeline:
         if pc > 1:
             assert self.batch_sz % pc == 0, (self.batch_sz, pc)
             assert not augmented, "multi-host yields host-local shards"
+            # a ragged final batch would give unequal per-process shards
+            assert self.drop_last or self.total % self.batch_sz == 0, (
+                "multi-host needs drop_last=True or a divisible dataset "
+                f"({self.total} % {self.batch_sz} != 0)")
         pending = None  # one-deep prefetch: overlap upload with the step
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]

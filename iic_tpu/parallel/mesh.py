@@ -60,3 +60,26 @@ def make_batch_globalizer(mesh, axis_name="data"):
             batch)
 
     return globalize
+
+
+def make_replicator(mesh):
+    """Replicated placement for non-batch step inputs (TrainState, PRNG
+    keys). Identity single-process; on a multi-host mesh, eager arrays are
+    committed to this process's local default device and jit would reject
+    them against the global mesh — device_put them with a fully-replicated
+    NamedSharding instead (every process holds the same values, so the
+    assembly is purely local)."""
+    if mesh is None or jax.process_count() == 1:
+        return lambda tree: tree
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def replicate(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)),
+            tree)
+
+    return replicate

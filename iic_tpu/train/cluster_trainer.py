@@ -24,7 +24,8 @@ from iic_tpu.data.pipeline import cluster_twohead_create_dataloaders
 from iic_tpu.evals import EvalHistory, cluster_eval, get_subhead_using_loss
 from iic_tpu.parallel import (
     create_train_state, make_apply_fn, make_cluster_train_step, make_mesh)
-from iic_tpu.parallel.mesh import make_batch_globalizer
+from iic_tpu.parallel.mesh import (make_batch_globalizer,
+                                    make_replicator)
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.config import config_to_str
 
@@ -153,6 +154,7 @@ def train_cluster_twohead(config):
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
     to_global = make_batch_globalizer(mesh)
+    replicate = make_replicator(mesh)
 
     lamb_a = getattr(config, "lamb_A", config.lamb)
     lamb_b = getattr(config, "lamb_B", config.lamb)
@@ -197,6 +199,7 @@ def train_cluster_twohead(config):
         _pre_eval(config, net, state, map_assign, map_test, history,
                   sub_head)
 
+    state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
         if getattr(config, "profile_dir", "") and e_i == next_epoch:
@@ -212,7 +215,7 @@ def train_cluster_twohead(config):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
                     state, loss, loss_nl = steps[head](
-                        state, to_global(base), key)
+                        state, to_global(base), replicate(key))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -296,6 +299,7 @@ def train_cluster_single(config):
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
     to_global = make_batch_globalizer(mesh)
+    replicate = make_replicator(mesh)
 
     step = make_cluster_train_step(
         net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
@@ -318,6 +322,7 @@ def train_cluster_single(config):
                      history=history["eval"])
         _log(f"Pre: {history['eval'].epoch_stats[-1]}")
 
+    state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
         if getattr(config, "profile_dir", "") and e_i == next_epoch:
@@ -329,7 +334,8 @@ def train_cluster_single(config):
         avg_loss = avg_loss_nl = 0.0
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(state, to_global(base), key)
+            state, loss, loss_nl = step(
+                state, to_global(base), replicate(key))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

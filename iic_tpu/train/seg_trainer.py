@@ -19,7 +19,8 @@ from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
 from iic_tpu.evals.segmentation_eval import segmentation_eval
 from iic_tpu.parallel import (
     create_train_state, make_mesh, make_seg_apply_fn, make_seg_train_step)
-from iic_tpu.parallel.mesh import make_batch_globalizer
+from iic_tpu.parallel.mesh import (make_batch_globalizer,
+                                    make_replicator)
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
     _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
@@ -65,6 +66,7 @@ def train_segmentation_twohead(config):
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
     to_global = make_batch_globalizer(mesh)
+    replicate = make_replicator(mesh)
 
     common = dict(
         half_T_side_dense=config.half_T_side_dense,
@@ -108,6 +110,7 @@ def train_segmentation_twohead(config):
             history["eval"].epoch_avg_subhead_acc.append(0.0)
             history["eval"].epoch_stats.append({})
 
+    state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
         if getattr(config, "profile_dir", "") and e_i == next_epoch:
@@ -123,7 +126,7 @@ def train_segmentation_twohead(config):
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
                     state, loss, loss_nl = steps[head](
-                        state, to_global((imgs, masks)), key)
+                        state, to_global((imgs, masks)), replicate(key))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -177,6 +180,7 @@ def train_segmentation_single(config):
     if config.n_devices is not None and config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
     to_global = make_batch_globalizer(mesh)
+    replicate = make_replicator(mesh)
 
     step = make_seg_train_step(
         net, tx, lamb=config.lamb, head=None,
@@ -211,6 +215,7 @@ def train_segmentation_single(config):
             history["eval"].epoch_avg_subhead_acc.append(0.0)
             history["eval"].epoch_stats.append({})
 
+    state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
         if getattr(config, "profile_dir", "") and e_i == next_epoch:
@@ -223,7 +228,8 @@ def train_segmentation_single(config):
         count = 0
         for b_i, (imgs, masks, key) in enumerate(
                 pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(state, to_global((imgs, masks)), key)
+            state, loss, loss_nl = step(
+                state, to_global((imgs, masks)), replicate(key))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -55,8 +55,11 @@ def load_old_run(config):
     assert old_config.model_ind == config.old_model_ind
 
     net, tx, template = build_net_and_state(old_config)
+    # probe the backend the old run actually used (msgpack or orbax dir)
+    best_file = ("best_orbax" if getattr(old_config, "use_orbax", False)
+                 else "best.ckpt")
     name = "best"
-    if not os.path.exists(os.path.join(old_dir, "best.ckpt")):
+    if not os.path.exists(os.path.join(old_dir, best_file)):
         name = "latest"  # no epoch beat the pre-eval yet
     state, _, _ = ckpt.load_checkpoint(old_config, template, name=name)
     return old_config, net, state

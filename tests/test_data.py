@@ -307,3 +307,32 @@ def test_create_basic_clustering_dataloaders_imagefolder(tmp_path):
     imgs, labels = next(iter(ma2))
     assert imgs.shape == (4, 4, 16, 16)
     np.testing.assert_array_equal(sorted(labels), [0, 0, 1, 1])
+
+
+def test_image_folder_modal_shape_over_tuples(tmp_path):
+    """Mixed sizes resize to the modal (h, w) TUPLE — per-axis modes could
+    combine into a shape no image has."""
+    root = str(tmp_path)
+    _write_image_folder(os.path.join(root, "train"),
+                        {"a": [(20, 30), (20, 30), (20, 30), (40, 10),
+                               (40, 10), (20, 10)]})
+    d = readers.load_image_folder(root, "train")
+    assert d["images"].shape[1:3] == (20, 30)
+
+
+def test_basic_dataloaders_share_decoded_arrays(tmp_path):
+    """create_basic_clustering_dataloaders decodes the user dataset once;
+    head A and head B pipelines share the arrays."""
+    from types import SimpleNamespace
+    from iic_tpu.data.pipeline import create_basic_clustering_dataloaders
+    root = str(tmp_path)
+    _write_image_folder(os.path.join(root, "train"),
+                        {"a": [(24, 24)] * 4, "b": [(24, 24)] * 4})
+    cfg = SimpleNamespace(
+        dataset="ImageFolder", dataset_root=root, mode="IID",
+        batch_sz=4, num_dataloaders=2, input_sz=16, gt_k=2,
+        crop_orig=True, rand_crop_sz=20, include_rgb=True,
+        fluid_warp=False, cutout=False, demean=False,
+        per_img_demean=False, batchnorm_track=True)
+    pa, pb, _, _ = create_basic_clustering_dataloaders(cfg)
+    assert pa.images is pb.images

@@ -131,3 +131,26 @@ def test_sharded_step_consumes_globally_assembled_batch():
     _, loss_global, _ = step(s2, make_global_batch(mesh, base), key)
     np.testing.assert_allclose(float(loss_plain), float(loss_global),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_multihost_ragged_batch_rejected():
+    """pc > 1 with a ragged final batch must fail loudly, not shard
+    unevenly (64 images, bsz=24 -> last batch is 16)."""
+    from iic_tpu.data.pipeline import ClusterTrainPipeline
+    cfg = _cluster_cfg(batch_sz=24)
+    pipe = ClusterTrainPipeline(cfg, [True], process_shard=(0, 2))
+    with pytest.raises(AssertionError, match="drop_last"):
+        next(pipe.epoch(0, augmented=False))
+    # drop_last=True is accepted
+    pipe2 = ClusterTrainPipeline(cfg, [True], process_shard=(0, 2),
+                                 drop_last=True)
+    b, _ = next(pipe2.epoch(0, augmented=False))
+    assert b.shape[0] == 12
+
+
+def test_replicator_identity_single_process():
+    from iic_tpu.parallel.mesh import make_replicator
+    mesh = make_mesh(8)
+    x = {"a": np.ones(3, np.float32)}
+    assert make_replicator(None)(x) is x
+    assert make_replicator(mesh)(x) is x  # process_count == 1

@@ -254,6 +254,21 @@ class SemisupConfig:
         return self
 
 
+def config_from_dict(d):
+    """Rebuild the right config dataclass from a pickled config dict
+    (run-dir config.pickle): SegConfig when the arch is a segmentation
+    net, else ClusterConfig. Unknown keys are dropped; pickled lists
+    become tuples again."""
+    cls = SegConfig if "Segmentation" in d.get("arch", "") else ClusterConfig
+    names = {f.name for f in dataclasses.fields(cls)}
+    cfg = cls(**{k: v for k, v in d.items() if k in names})
+    for f in dataclasses.fields(cls):
+        v = getattr(cfg, f.name)
+        if isinstance(v, list):
+            setattr(cfg, f.name, tuple(v))
+    return cfg
+
+
 def config_to_str(config):
     """Reference ``config_to_str`` (utils/cluster/general.py:12-17)."""
     attrs = dataclasses.asdict(config) if dataclasses.is_dataclass(config) \

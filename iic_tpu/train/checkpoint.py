@@ -64,24 +64,50 @@ def save_checkpoint(config, state, history, name="latest", last_epoch=None):
     _write_meta(config, history, last_epoch, name)
 
 
+_ASYNC_CKPTR = None
+
+
+def _orbax_checkpointer():
+    """Process-wide AsyncCheckpointer: saves overlap the next epochs of
+    training; waits happen lazily (before the next save of the same
+    process, before any load, and via wait_for_orbax())."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_orbax():
+    """Block until any in-flight async orbax save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint_orbax(config, state, history, name="latest",
                           last_epoch=None):
-    """Orbax-backed checkpoint (async-capable, multi-host-safe) — the
-    production alternative to the msgpack files; same run-dir layout."""
-    import orbax.checkpoint as ocp
-
+    """Orbax-backed checkpoint (async, multi-host-safe) — the production
+    alternative to the msgpack files; same run-dir layout. The save is
+    dispatched in the background; the previous in-flight save (if any) is
+    drained first so at most one write is outstanding."""
     d = run_dir(config)
     path = os.path.abspath(os.path.join(d, f"{name}_orbax"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()
     pure = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
         "step": int(state.step),
     }
-    ckptr.save(path, pure, force=True)
-    ckptr.wait_until_finished()
+    ckptr.save(path, args=_orbax_save_args(pure), force=True)
     _write_meta(config, history, last_epoch, name)
+
+
+def _orbax_save_args(pure):
+    import orbax.checkpoint as ocp
+    return ocp.args.StandardSave(pure)
 
 
 def load_checkpoint_orbax(config, state_template, name="latest"):
@@ -89,6 +115,7 @@ def load_checkpoint_orbax(config, state_template, name="latest"):
 
     from iic_tpu.parallel.train_step import TrainState as TS
 
+    wait_for_orbax()  # drain any in-flight async save first
     d = run_dir(config)
     path = os.path.abspath(os.path.join(d, f"{name}_orbax"))
     ckptr = ocp.StandardCheckpointer()

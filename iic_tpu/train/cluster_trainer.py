@@ -258,6 +258,7 @@ def train_cluster_twohead(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history
 
 
@@ -366,6 +367,7 @@ def train_cluster_single(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history
 
 

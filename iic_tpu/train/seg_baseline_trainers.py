@@ -184,4 +184,5 @@ def train_seg_baseline(config, kind):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history

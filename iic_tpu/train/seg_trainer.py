@@ -163,6 +163,7 @@ def train_segmentation_twohead(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history
 
 
@@ -261,4 +262,5 @@ def train_segmentation_single(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history

@@ -301,4 +301,5 @@ def train_semisup(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history

@@ -209,4 +209,5 @@ def train_triplets(config):
         if config.test_code:
             break
 
+    ckpt.wait_for_orbax()  # commit any in-flight async save
     return state, history

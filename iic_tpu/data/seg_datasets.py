@@ -414,12 +414,19 @@ class Potsdam(_SegDatasetBase):
 class SyntheticSeg(_SegDatasetBase):
     """Clusterable synthetic segmentation data: label map = smooth spatial
     class field; image = class-dependent texture + noise. Name:
-    SyntheticSeg<K>x<SZ>[x<N>]. C_raw = 3."""
+    SyntheticSeg<K>x<SZ>[x<N>] (C_raw = 3) or
+    SyntheticSegPotsdam<K>x<SZ>[x<N>] (C_raw = 4, rgb + ir — the name
+    contains "Potsdam" so the config derives using_IR=True and the whole
+    IR channel plumbing runs end to end)."""
 
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
-        fields = [int(v)
-                  for v in config.dataset[len("SyntheticSeg"):].split("x")]
+        name = config.dataset[len("SyntheticSeg"):]
+        c_raw = 3
+        if name.startswith("Potsdam"):
+            name = name[len("Potsdam"):]
+            c_raw = 4
+        fields = [int(v) for v in name.split("x")]
         k, sz = fields[:2]
         n = fields[2] if len(fields) > 2 else 256
         if split in ("test", "val", "labelled_test"):
@@ -427,7 +434,7 @@ class SyntheticSeg(_SegDatasetBase):
         assert k == self.gt_k
         rng = np.random.default_rng(0 if "train" in str(split) else 1)
         yy, xx = np.mgrid[0:sz, 0:sz].astype(np.float32) / sz
-        self.images = np.zeros((n, sz, sz, 3), np.uint8)
+        self.images = np.zeros((n, sz, sz, c_raw), np.uint8)
         self.labels = np.zeros((n, sz, sz), np.int32)
         for i in range(n):
             cx = rng.uniform(0.2, 0.8, k)
@@ -437,10 +444,14 @@ class SyntheticSeg(_SegDatasetBase):
                 -scales[c] * ((xx - cx[c]) ** 2 + (yy - cy[c]) ** 2)
                 for c in range(k)])
             lab = np.argmax(fields_, axis=0)
-            img = np.stack([
+            chans = [
                 0.5 + 0.45 * np.sin(2 * np.pi * (lab + 1) * (c + 1) / k
                                     + xx * 3)
-                for c in range(3)], axis=-1)
+                for c in range(3)]
+            if c_raw == 4:  # ir: a distinct label-dependent band
+                chans.append(
+                    0.5 + 0.45 * np.cos(2 * np.pi * (lab + 1) / k + yy * 3))
+            img = np.stack(chans, axis=-1)
             img += 0.1 * rng.standard_normal(img.shape)
             self.images[i] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             self.labels[i] = lab

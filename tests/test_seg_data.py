@@ -172,3 +172,26 @@ def test_seg_num_dataloaders_repeat_pairing():
     assert np.abs(np.asarray(img2)[:4] - np.asarray(img2)[4:]).max() > 1e-3
     # an epoch still visits every image once per loader
     assert len(pipe) == int(np.ceil(32 / 4))
+
+
+@pytest.mark.slow  # compile-heavy end-to-end trainer
+def test_seg_trainer_smoke_potsdam_ir(tmp_path):
+    """Potsdam-shaped IR path end to end: 4-channel raw input, using_IR
+    derived from the dataset name, rgb+grey+sobel+ir channel sandwich
+    through the trainer."""
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_trainer import train_segmentation_twohead
+    cfg = SegConfig(
+        model_ind=4, arch="SegmentationNet10aTwoHead", mode="IID",
+        dataset="SyntheticSegPotsdam3x48x16", dataset_root="", gt_k=3,
+        output_k_A=6, output_k_B=3, num_sub_heads=1, lr=1e-3,
+        num_epochs=3, batch_sz=8, num_dataloaders=1,
+        out_root=str(tmp_path), input_sz=40, half_T_side_dense=1,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+        include_rgb=True, batchnorm_track=True, test_code=True,
+        save_freq=1)
+    cfg.finalize(twohead=True)
+    assert cfg.using_IR and cfg.in_channels == 6  # rgb + dx dy + ir
+    state, history = train_segmentation_twohead(cfg)
+    assert np.isfinite(history["epoch_loss_head_B"][0])
+    assert len(history["eval"].epoch_acc) == 2

@@ -100,7 +100,9 @@ def _save_plots(config, history):
 def adjust_batch_for_mesh(config):
     """shard_map needs the per-step base batch divisible by the mesh size;
     round dataloader_batch_sz down to a multiple of n_devices (paper batch
-    sizes like 660/700 do not divide 8) and drop ragged final batches."""
+    sizes like 660/700 do not divide 8). Ragged final batches are kept and
+    processed by an unsharded step (see make_ragged_fallback) except in
+    multi-host runs, where pipelines drop them."""
     n = config.n_devices
     if not n or n <= 1:
         return False
@@ -112,6 +114,35 @@ def adjust_batch_for_mesh(config):
         _log(f"mesh({n}): adjusted batch_sz to {config.batch_sz} "
              f"(dataloader_batch_sz {new_dbs})")
     return True
+
+
+def mesh_drop_last(config, use_mesh):
+    """Pipelines must drop ragged batches only where the trainer cannot
+    handle them: multi-host shards, or cross-shard-BN nets (which cannot
+    run outside shard_map)."""
+    import jax as _jax
+    return use_mesh and (_jax.process_count() > 1 or bool(config.bn_sync))
+
+
+def make_ragged_fallback(make_step, full_batch_size, mesh, config):
+    """Wrap a sharded step so a ragged final batch (reference
+    cluster_sobel_twohead.py:310-315 keeps and slices partial batches)
+    runs through a lazily-built UNSHARDED twin step instead of being
+    dropped. With the default global-joint mode the unsharded step
+    computes the mathematically identical loss; sample counts then match
+    the reference exactly. Returns run(step, state, batch, key,
+    batch_size)."""
+    cache = {}
+
+    def run(step, state, batch, key, batch_size):
+        if mesh is None or batch_size == full_batch_size:
+            return step(state, batch, key)
+        if "step" not in cache:
+            _log(f"ragged batch ({batch_size}): building unsharded step")
+            cache["step"] = make_step()
+        return cache["step"](state, batch, key)
+
+    return run
 
 
 def build_net_and_state(config):
@@ -145,8 +176,9 @@ def train_cluster_twohead(config):
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe_a, pipe_b, map_assign, map_test = \
-        cluster_twohead_create_dataloaders(config, seed=config.seed,
-                                           drop_last=use_mesh)
+        cluster_twohead_create_dataloaders(
+            config, seed=config.seed,
+            drop_last=mesh_drop_last(config, use_mesh))
 
     net, tx, state = build_net_and_state(config)
 
@@ -175,6 +207,18 @@ def train_cluster_twohead(config):
                                        False)),
     }
     pipes = {"A": pipe_a, "B": pipe_b}
+    lambs = {"A": lamb_a, "B": lamb_b}
+    ragged = {
+        h: make_ragged_fallback(
+            lambda h=h: make_cluster_train_step(
+                net, tx, pipes[h].augment_pair, lamb=lambs[h], head=h,
+                sobel=config.sobel, include_rgb=config.include_rgb,
+                mesh=None, joint_mode=config.joint_mode,
+                fused_pair_forward=getattr(config, "fused_pair_forward",
+                                           False)),
+            config.dataloader_batch_sz, mesh, config)
+        for h in ("A", "B")
+    }
 
     heads = ["A", "B"] if config.head_A_first else ["B", "A"]
     head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
@@ -214,8 +258,9 @@ def train_cluster_twohead(config):
             for _ in range(head_epochs[head]):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
-                    state, loss, loss_nl = steps[head](
-                        state, to_global(base), replicate(key))
+                    state, loss, loss_nl = ragged[head](
+                        steps[head], state, to_global(base),
+                        replicate(key), int(base.shape[0]))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -293,7 +338,8 @@ def train_cluster_single(config):
     _log(config_to_str(config))
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = cluster_create_dataloaders(
-        config, seed=config.seed, drop_last=use_mesh)
+        config, seed=config.seed,
+        drop_last=mesh_drop_last(config, use_mesh))
     net, tx, state = build_net_and_state(config)
 
     mesh = None
@@ -302,10 +348,15 @@ def train_cluster_single(config):
     to_global = make_batch_globalizer(mesh)
     replicate = make_replicator(mesh)
 
-    step = make_cluster_train_step(
-        net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
-        sobel=config.sobel, include_rgb=config.include_rgb,
-        mesh=mesh, joint_mode=config.joint_mode)
+    def _make_step(step_mesh):
+        return make_cluster_train_step(
+            net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
+            sobel=config.sobel, include_rgb=config.include_rgb,
+            mesh=step_mesh, joint_mode=config.joint_mode)
+
+    step = _make_step(mesh)
+    ragged = make_ragged_fallback(lambda: _make_step(None),
+                                  config.dataloader_batch_sz, mesh, config)
 
     history = _make_history()
     next_epoch = 1
@@ -335,8 +386,9 @@ def train_cluster_single(config):
         avg_loss = avg_loss_nl = 0.0
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(
-                state, to_global(base), replicate(key))
+            state, loss, loss_nl = ragged(
+                step, state, to_global(base), replicate(key),
+                int(base.shape[0]))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -24,7 +24,7 @@ from iic_tpu.parallel.mesh import (make_batch_globalizer,
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
     _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
-    make_optimizer, set_lr_mult)
+    make_optimizer, make_ragged_fallback, mesh_drop_last, set_lr_mult)
 from iic_tpu.train.config import config_to_str
 
 
@@ -59,7 +59,8 @@ def train_segmentation_twohead(config):
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(
-        config, seed=config.seed, drop_last=use_mesh)
+        config, seed=config.seed,
+        drop_last=mesh_drop_last(config, use_mesh))
     net, tx, state = build_seg_net_and_state(config)
 
     mesh = None
@@ -83,6 +84,15 @@ def train_segmentation_twohead(config):
                                  **common),
         "B": make_seg_train_step(net, tx, lamb=config.lamb_B, head="B",
                                  **common),
+    }
+    common_unsharded = dict(common, mesh=None)
+    lambs = {"A": config.lamb_A, "B": config.lamb_B}
+    ragged = {
+        h: make_ragged_fallback(
+            lambda h=h: make_seg_train_step(net, tx, lamb=lambs[h],
+                                            head=h, **common_unsharded),
+            config.batch_sz, mesh, config)
+        for h in ("A", "B")
     }
 
     heads = ["A", "B"] if config.head_A_first else ["B", "A"]
@@ -125,8 +135,9 @@ def train_segmentation_twohead(config):
             for _ in range(head_epochs[head]):
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
-                    state, loss, loss_nl = steps[head](
-                        state, to_global((imgs, masks)), replicate(key))
+                    state, loss, loss_nl = ragged[head](
+                        steps[head], state, to_global((imgs, masks)),
+                        replicate(key), int(imgs.shape[0]))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -174,7 +185,8 @@ def train_segmentation_single(config):
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(
-        config, seed=config.seed, drop_last=use_mesh)
+        config, seed=config.seed,
+        drop_last=mesh_drop_last(config, use_mesh))
     net, tx, state = build_seg_net_and_state(config)
 
     mesh = None
@@ -183,17 +195,24 @@ def train_segmentation_single(config):
     to_global = make_batch_globalizer(mesh)
     replicate = make_replicator(mesh)
 
-    step = make_seg_train_step(
-        net, tx, lamb=config.lamb, head=None,
-        half_T_side_dense=config.half_T_side_dense,
-        half_T_side_sparse_min=config.half_T_side_sparse_min,
-        half_T_side_sparse_max=config.half_T_side_sparse_max,
-        sobel=config.sobel, include_rgb=config.include_rgb,
-        using_IR=config.using_IR,
-        use_uncollapsed_loss=config.use_uncollapsed_loss,
-        warp_impl="gather" if config.exact_warp else "matmul",
-        augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode,
-        fused_pair_forward=getattr(config, "fused_pair_forward", False))
+    def _make_step(step_mesh):
+        return make_seg_train_step(
+            net, tx, lamb=config.lamb, head=None,
+            half_T_side_dense=config.half_T_side_dense,
+            half_T_side_sparse_min=config.half_T_side_sparse_min,
+            half_T_side_sparse_max=config.half_T_side_sparse_max,
+            sobel=config.sobel, include_rgb=config.include_rgb,
+            using_IR=config.using_IR,
+            use_uncollapsed_loss=config.use_uncollapsed_loss,
+            warp_impl="gather" if config.exact_warp else "matmul",
+            augment=pipe.augment, mesh=step_mesh,
+            joint_mode=config.joint_mode,
+            fused_pair_forward=getattr(config, "fused_pair_forward",
+                                       False))
+
+    step = _make_step(mesh)
+    ragged = make_ragged_fallback(lambda: _make_step(None),
+                                  config.batch_sz, mesh, config)
 
     history = _make_history()
     next_epoch = 1
@@ -229,8 +248,9 @@ def train_segmentation_single(config):
         count = 0
         for b_i, (imgs, masks, key) in enumerate(
                 pipe.epoch(e_i, augmented=False)):
-            state, loss, loss_nl = step(
-                state, to_global((imgs, masks)), replicate(key))
+            state, loss, loss_nl = ragged(
+                step, state, to_global((imgs, masks)), replicate(key),
+                int(imgs.shape[0]))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -108,3 +108,38 @@ def test_lr_schedule_multiplies():
     state = set_lr_mult(state, 0.1)
     lr1 = float(state.opt_state.hyperparams["learning_rate"])
     np.testing.assert_allclose(lr1, lr0 * 0.1, rtol=1e-6)
+
+
+def test_restart_reproduces_uninterrupted_run(tmp_path):
+    """Determinism across restart: train 4 epochs straight vs train 2,
+    restart, train 2 more — the per-epoch losses and eval accuracies must
+    match exactly (PRNG keys derive from (seed, epoch, batch); optimizer
+    state and BN stats round-trip through the checkpoint)."""
+    def cfg(out, **kw):
+        # batch/input shapes identical to _cfg's other tests -> compile
+        # cache hits; tiny dataset so the full (non-test_code) epochs stay
+        # cheap on the CPU backend
+        c = _cfg(out, num_epochs=3, test_code=False, save_freq=1,
+                 dataset="Synthetic10x28x1x32")
+        for k, v in kw.items():
+            setattr(c, k, v)
+        return c
+
+    import os
+    a_dir = os.path.join(str(tmp_path), "straight")
+    b_dir = os.path.join(str(tmp_path), "resumed")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+
+    _, hist_straight = train_cluster_twohead(cfg(a_dir))
+
+    _, _ = train_cluster_twohead(cfg(b_dir, num_epochs=2))
+    _, hist_resumed = train_cluster_twohead(cfg(b_dir, restart=True))
+
+    np.testing.assert_allclose(hist_resumed["epoch_loss_head_B"],
+                               hist_straight["epoch_loss_head_B"],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(hist_resumed["epoch_loss_head_A"],
+                               hist_straight["epoch_loss_head_A"],
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(hist_resumed["eval"].epoch_acc,
+                                  hist_straight["eval"].epoch_acc)

@@ -159,11 +159,34 @@ def build_net_and_state(config):
     return net, tx, state
 
 
-def make_eval_apply(net, state, config, head="B", train_mode=False):
+def make_eval_apply(net, state, config, head="B", train_mode=False,
+                    mesh=None):
+    """Eval forward closure. With a mesh (and running-stats BN) the
+    batch is placed sharded over the data axis so the eval forward scales
+    with the mesh (ragged batches pad to the mesh multiple). train_mode
+    ("double eval", per-batch BN stats) must see the WHOLE batch's
+    statistics, so it stays unsharded."""
     apply_raw = make_apply_fn(net, head=head, sobel=config.sobel,
                               include_rgb=config.include_rgb,
                               train_mode=train_mode)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if (mesh is not None and not train_mode
+            and getattr(config, "batchnorm_track", False)):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+        n_dev = mesh.size
+
+        def apply_sharded(imgs):
+            b = imgs.shape[0]
+            pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
+            if pad:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
+            out = apply_raw(variables, jax.device_put(imgs, sharding))
+            return out[:, :b] if pad else out
+
+        return apply_sharded
     return lambda imgs: apply_raw(variables, imgs)
 
 
@@ -241,7 +264,7 @@ def train_cluster_twohead(config):
             sub_head = _select_sub_head_on_loss(config, net, state, pipe_b,
                                                 lamb_b)
         _pre_eval(config, net, state, map_assign, map_test, history,
-                  sub_head)
+                  sub_head, mesh=mesh)
 
     state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
@@ -278,7 +301,7 @@ def train_cluster_twohead(config):
                 avg_loss_nl / count)
 
         is_best = _epoch_eval(config, net, state, map_assign, map_test,
-                              history)
+                              history, mesh=mesh)
         if getattr(config, "save_progression", False):
             # MNIST progression point clouds, figure 3 of the paper
             # (reference cluster_greyscale_twohead.py:269-277)
@@ -307,23 +330,25 @@ def train_cluster_twohead(config):
     return state, history
 
 
-def _pre_eval(config, net, state, map_assign, map_test, history, sub_head):
+def _pre_eval(config, net, state, map_assign, map_test, history, sub_head,
+              mesh=None):
     double_apply = None
     if config.double_eval:
         double_apply = make_eval_apply(net, state, config, train_mode=True)
     cluster_eval(
-        config, make_eval_apply(net, state, config),
+        config, make_eval_apply(net, state, config, mesh=mesh),
         map_assign, map_test, history=history["eval"],
         double_eval_apply_fn=double_apply, use_sub_head=sub_head)
     _log(f"Pre: {history['eval'].epoch_stats[-1]}")
 
 
-def _epoch_eval(config, net, state, map_assign, map_test, history):
+def _epoch_eval(config, net, state, map_assign, map_test, history,
+                mesh=None):
     double_apply = None
     if config.double_eval:
         double_apply = make_eval_apply(net, state, config, train_mode=True)
     is_best, _ = cluster_eval(
-        config, make_eval_apply(net, state, config),
+        config, make_eval_apply(net, state, config, mesh=mesh),
         map_assign, map_test, history=history["eval"],
         double_eval_apply_fn=double_apply)
     return is_best

@@ -45,11 +45,30 @@ def build_seg_net_and_state(config):
     return net, tx, state
 
 
-def make_seg_eval_apply(net, state, config, head="B"):
+def make_seg_eval_apply(net, state, config, head="B", mesh=None):
+    """Eval forward; with a mesh and running-stats BN the batch is
+    placed sharded over the data axis (ragged batches padded), so
+    per-pixel eval scales with the mesh."""
     apply_raw = make_seg_apply_fn(net, head=head, sobel=config.sobel,
                                   include_rgb=config.include_rgb,
                                   using_IR=config.using_IR)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if mesh is not None and getattr(config, "batchnorm_track", False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+        n_dev = mesh.size
+
+        def apply_sharded(imgs):
+            b = imgs.shape[0]
+            pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
+            if pad:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
+            out = apply_raw(variables, jax.device_put(imgs, sharding))
+            return out[:, :b] if pad else out
+
+        return apply_sharded
     return lambda imgs: apply_raw(variables, imgs)
 
 
@@ -111,7 +130,7 @@ def train_segmentation_twohead(config):
     else:
         if not getattr(config, "no_pre_eval", False):
             segmentation_eval(
-                config, make_seg_eval_apply(net, state, config),
+                config, make_seg_eval_apply(net, state, config, mesh=mesh),
                 map_assign, map_test,
                 history=history["eval"])
             _log(f"Pre: {history['eval'].epoch_stats[-1]}")
@@ -155,7 +174,7 @@ def train_segmentation_twohead(config):
                 avg_loss_nl / count)
 
         is_best = segmentation_eval(
-            config, make_seg_eval_apply(net, state, config),
+            config, make_seg_eval_apply(net, state, config, mesh=mesh),
             map_assign, map_test,
             history=history["eval"])
         _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "
@@ -226,7 +245,8 @@ def train_segmentation_single(config):
     else:
         if not getattr(config, "no_pre_eval", False):
             segmentation_eval(
-                config, make_seg_eval_apply(net, state, config, head=None),
+                config, make_seg_eval_apply(net, state, config, head=None,
+                                        mesh=mesh),
                 map_assign, map_test,
                 history=history["eval"])
             _log(f"Pre: {history['eval'].epoch_stats[-1]}")
@@ -264,7 +284,8 @@ def train_segmentation_single(config):
         history["epoch_loss_no_lamb_head_B"].append(avg_loss_nl / count)
 
         is_best = segmentation_eval(
-            config, make_seg_eval_apply(net, state, config, head=None),
+            config, make_seg_eval_apply(net, state, config, head=None,
+                                        mesh=mesh),
             map_assign, map_test,
             history=history["eval"])
         _log(f"Epoch {e_i}: acc {history['eval'].epoch_acc[-1]:.6f} "

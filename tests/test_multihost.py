@@ -154,3 +154,31 @@ def test_replicator_identity_single_process():
     x = {"a": np.ones(3, np.float32)}
     assert make_replicator(None)(x) is x
     assert make_replicator(mesh)(x) is x  # process_count == 1
+
+
+def test_mesh_sharded_eval_matches_unsharded():
+    """make_eval_apply with a mesh shards the eval batch over the data
+    axis (incl. a ragged batch GSPMD pads internally); outputs must equal
+    the unsharded forward exactly (running-stats BN)."""
+    import optax
+    from iic_tpu import models
+    from iic_tpu.parallel import create_train_state
+    from iic_tpu.train.cluster_trainer import make_eval_apply
+
+    cfg = _cluster_cfg()
+    net = models.build("ClusterNet6cTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 1, 20, 20)))
+    state = create_train_state(variables, optax.adam(1e-3))
+    cfg.sobel = False
+    cfg.include_rgb = False
+
+    rng = np.random.default_rng(0)
+    plain = make_eval_apply(net, state, cfg)
+    sharded = make_eval_apply(net, state, cfg, mesh=make_mesh(8))
+    for b in (16, 11):  # 11: ragged vs the 8-device mesh
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (b, 1, 20, 20)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(sharded(imgs)),
+                                   np.asarray(plain(imgs)),
+                                   rtol=1e-6, atol=1e-6)

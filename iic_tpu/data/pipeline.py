@@ -28,7 +28,7 @@ from iic_tpu.data.transforms import (
 def _is_greyscale(config):
     if getattr(config, "greyscale", False):
         return True
-    if config.dataset == "MNIST":
+    if config.dataset in ("MNIST", "Digits"):
         return True
     if config.dataset.startswith("Synthetic"):
         # Synthetic<K>x<SZ>x<C>[x<N>]: channels is the third field
@@ -212,7 +212,8 @@ class MappingLoader:
 def _twohead_partitions(config):
     """Partition tables (code/utils/cluster/data.py:18-75)."""
     ds = config.dataset
-    if "CIFAR" in ds or ds == "MNIST" or ds.startswith("Synthetic"):
+    if ("CIFAR" in ds or ds in ("MNIST", "Digits")
+            or ds.startswith("Synthetic")):
         train_a = [True, False]
         train_b = train_a
         mapping_assign = [True, False]
@@ -300,7 +301,8 @@ def cluster_create_dataloaders(config, seed=0, drop_last=False):
     (train_pipeline, mapping_assignment_loader, mapping_test_loader)."""
     assert config.mode == "IID+"
     ds = config.dataset
-    if "CIFAR" in ds or ds == "MNIST" or ds.startswith("Synthetic"):
+    if ("CIFAR" in ds or ds in ("MNIST", "Digits")
+            or ds.startswith("Synthetic")):
         train = [True]
         map_a = [True]
         map_t = [False]

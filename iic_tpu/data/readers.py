@@ -187,6 +187,26 @@ def load_image_folder(root, subdir):
             "labels": np.array(labels, np.int32)}
 
 
+def load_digits_sklearn(train=True, upscale=3):
+    """Real handwritten digits bundled with scikit-learn (UCI optical
+    digits test fold: 1797 images, 8x8, 10 classes) — the only real image
+    dataset available offline in this environment, used for real-data
+    accuracy evidence where MNIST (reference commands.txt:30) cannot be
+    downloaded. Nearest-upsampled x``upscale`` (8 -> 24 by default) so the
+    paper's MNIST-style crop/rotate configs apply unchanged. Deterministic
+    split: first 1500 train / last 297 test (the IID partition tables
+    concatenate both, i.e. training and mapping use all 1797 like the
+    paper's full-MNIST protocol)."""
+    from sklearn.datasets import load_digits
+    d = load_digits()
+    imgs = np.round(d.images * (255.0 / 16.0)).astype(np.uint8)
+    imgs = np.repeat(np.repeat(imgs, upscale, axis=1), upscale, axis=2)
+    imgs = imgs[..., None]  # (N, 8*u, 8*u, 1)
+    labels = d.target.astype(np.int32)
+    sl = slice(0, 1500) if train else slice(1500, None)
+    return {"images": imgs[sl], "labels": labels[sl]}
+
+
 def reorder_train_deterministic_ids(n_train=5000, per=20):
     """STL10 mix_train interleave: first 5k spread one-every-20 through the
     100k unlabelled (reference code/utils/cluster/general.py:26-45)."""
@@ -227,6 +247,7 @@ DATASET_LOADERS = {
     "CIFAR100": lambda root, part: load_cifar100(root, train=part),
     "CIFAR20": lambda root, part: load_cifar20(root, train=part),
     "STL10": lambda root, part: load_stl10(root, split=part),
+    "Digits": lambda root, part: load_digits_sklearn(train=part),
 }
 
 

@@ -102,10 +102,22 @@ class SegTrainPipeline:
     ``use_native=True`` (default: auto) routes the per-sample host geometry
     (scale / pad+crop / label remap+mask) through the threaded C++ library
     (iic_tpu/native/seg_prep.cpp) instead of the per-sample numpy path —
-    same random draws, same coordinate conventions."""
+    same random draws, same coordinate conventions.
+
+    ``resident=True`` stages the whole dataset in HBM once (uint8 images +
+    pointwise-filtered relevancy masks, centre-padded to >= input_sz) and
+    moves the per-draw random crop on device: ``epoch`` then yields
+    (idx_batch, idx_batch, key) and ``self.augment`` gathers + crops +
+    augments inside the fused train step — zero per-step host work or
+    host->device traffic. Requires uniform raw shapes, no random scale
+    (``pre_scale_all`` is applied once at staging), single process. The
+    crop-start distribution is identical to the host path's
+    ``pad_and_or_crop(mode="random")`` (uniform over [0, H - sz]); only the
+    RNG stream differs. Datasets at reference scale fit easily (Potsdam
+    200^2 tiles ~ 500 MB; a 16 GB HBM chip holds COCO-sized crops)."""
 
     def __init__(self, config, partitions, seed=0, use_native=None,
-                 drop_last=False, process_shard=None):
+                 drop_last=False, process_shard=None, resident=False):
         self.config = config
         self.seed = seed
         # (process_index, process_count) — multi-host input sharding; every
@@ -122,6 +134,9 @@ class SegTrainPipeline:
         self.num_batches = max(int(rounder(self.total / self.batch_sz)), 1)
         self.shuffle = config.num_dataloaders == 1
         self.augment = make_seg_augment(config)
+        self.resident = resident
+        if resident:
+            self._stage_resident()
         self._augment_jit = jax.jit(self.augment)
 
         self._native = None
@@ -137,6 +152,63 @@ class SegTrainPipeline:
             self._native = load_seg_prep()
             if use_native and self._native is None:
                 raise RuntimeError("native seg_prep unavailable")
+
+    def _stage_resident(self):
+        """Upload the whole dataset to HBM once and rebuild ``self.augment``
+        to gather + random-crop on device before the standard augmentation.
+        Masks are the pointwise label filter of the zero-padded label map —
+        identical to the host path, which filters after padding/cropping."""
+        cfg = self.config
+        assert not getattr(cfg, "use_random_scale", False), (
+            "resident mode does per-draw geometry on device with static "
+            "shapes; random rescale needs the host path")
+        sz = cfg.input_sz
+        from iic_tpu.data.seg_transforms import pad_if_too_small
+        imgs, masks = [], []
+        for d in self.datasets:
+            for i in range(len(d)):
+                img, label = d._load_raw(i)
+                if getattr(cfg, "pre_scale_all", False):
+                    import cv2
+                    from iic_tpu.data.seg_datasets import _resize_pair
+                    img, label = _resize_pair(
+                        img.astype(np.float32), label,
+                        cfg.pre_scale_factor, cv2)
+                img = pad_if_too_small(np.asarray(img), sz)
+                if label is not None:
+                    label = pad_if_too_small(np.asarray(label), sz)
+                    _, mask = d._filter_label(label)
+                else:
+                    mask = np.ones(img.shape[:2], bool)
+                imgs.append(img.astype(np.uint8))
+                masks.append(mask.astype(np.uint8))
+        shapes = {im.shape for im in imgs}
+        assert len(shapes) == 1, (
+            f"resident mode needs uniform raw shapes, got {shapes}; "
+            "use pre_scale_all or the host path")
+        res_imgs = jax.device_put(np.stack(imgs))
+        res_masks = jax.device_put(np.stack(masks))
+        h, w = res_imgs.shape[1:3]
+        base_augment = self.augment
+
+        def resident_augment(idxs, _idxs_unused, key):
+            k_crop, k_aug = jax.random.split(key)
+            b_imgs = jnp.take(res_imgs, idxs, axis=0)
+            b_masks = jnp.take(res_masks, idxs, axis=0)
+            starts = jax.random.randint(
+                k_crop, (idxs.shape[0], 2), 0,
+                jnp.array([h - sz + 1, w - sz + 1]))
+
+            def crop(im, m, s):
+                im_c = jax.lax.dynamic_slice(
+                    im, (s[0], s[1], 0), (sz, sz, im.shape[2]))
+                m_c = jax.lax.dynamic_slice(m, (s[0], s[1]), (sz, sz))
+                return im_c, m_c
+
+            b_imgs, b_masks = jax.vmap(crop)(b_imgs, b_masks, starts)
+            return base_augment(b_imgs, b_masks, k_aug)
+
+        self.augment = resident_augment
 
     def _locate(self, global_idx):
         for d, n in zip(self.datasets, self.lengths):
@@ -248,6 +320,17 @@ class SegTrainPipeline:
         root = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 7919), epoch_idx)
         r = self.config.num_dataloaders
+        if self.resident:
+            assert pc == 1, "resident mode is single-process"
+            for b_i in range(self.num_batches):
+                idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
+                if r > 1:
+                    idxs = np.concatenate([idxs] * r)
+                idxs_dev = jax.device_put(idxs.astype(np.int32))
+                key = jax.random.fold_in(root, b_i)
+                yield (self._augment_jit(idxs_dev, idxs_dev, key)
+                       if augmented else (idxs_dev, idxs_dev, key))
+            return
         if pc > 1:
             assert self.batch_sz % pc == 0, (self.batch_sz, pc)
             assert not augmented, "multi-host yields host-local shards"
@@ -383,6 +466,8 @@ def segmentation_create_dataloaders(config, seed=0, drop_last=False):
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
     return (SegTrainPipeline(config, train, seed=seed,
-                             drop_last=drop_last),
+                             drop_last=drop_last,
+                             resident=getattr(config, "resident_data",
+                                              False)),
             SegMappingLoader(config, map_a),
             SegMappingLoader(config, map_t))

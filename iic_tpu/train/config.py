@@ -193,6 +193,7 @@ class SegConfig:
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
+    resident_data: bool = False  # stage dataset in HBM; crop on device
 
     # derived
     twohead: bool = True

@@ -336,3 +336,38 @@ def test_basic_dataloaders_share_decoded_arrays(tmp_path):
         per_img_demean=False, batchnorm_track=True)
     pa, pb, _, _ = create_basic_clustering_dataloaders(cfg)
     assert pa.images is pb.images
+
+
+def test_digits_reader_real_data():
+    """sklearn's bundled UCI digits: the one real image dataset available
+    offline; wired as dataset name "Digits" for real-data accuracy runs."""
+    d = readers.load_dataset("Digits", "", True)
+    dt = readers.load_dataset("Digits", "", False)
+    assert d["images"].shape == (1500, 24, 24, 1)
+    assert dt["images"].shape == (297, 24, 24, 1)
+    assert d["images"].dtype == np.uint8
+    # real data: every class present, plausibly balanced
+    counts = np.bincount(
+        np.concatenate([d["labels"], dt["labels"]]), minlength=10)
+    assert counts.min() > 150 and counts.sum() == 1797
+    # nearest-upsampled x3: 3x3 blocks are constant
+    img = d["images"][0, :, :, 0]
+    assert np.array_equal(img[::3, ::3].repeat(3, 0).repeat(3, 1), img)
+
+
+def test_digits_twohead_pipeline():
+    cfg = SimpleNamespace(
+        dataset="Digits", dataset_root="", mode="IID", batch_sz=64,
+        num_dataloaders=2, input_sz=24, gt_k=10, output_k_A=50,
+        output_k_B=10, num_sub_heads=2, crop_orig=True, crop_other=True,
+        tf1_crop="centre_half", tf1_crop_sz=20, tf2_crop="random",
+        tf2_crop_szs=[16, 20, 24], rot_val=25, no_flip=True,
+        include_rgb=False, mix_train=False, batchnorm_track=True)
+    t_a, t_b, map_a, map_t = cluster_twohead_create_dataloaders(cfg)
+    assert len(t_a.images) == 1797 and len(map_a.images) == 1797
+    base, key = next(t_a.epoch(0, augmented=False))
+    i1, i2 = t_a.augment_pair(base, key)
+    # greyscale path, r=2 tf2 draws per base image
+    assert i1.shape == (64, 1, 24, 24) and i2.shape == i1.shape
+    imgs, labels = next(iter(map_a))
+    assert imgs.shape[1:] == (1, 24, 24) and labels.min() >= 0

@@ -195,3 +195,47 @@ def test_seg_trainer_smoke_potsdam_ir(tmp_path):
     state, history = train_segmentation_twohead(cfg)
     assert np.isfinite(history["epoch_loss_head_B"][0])
     assert len(history["eval"].epoch_acc) == 2
+
+
+def test_seg_resident_pipeline_matches_host_path():
+    """Device-resident input mode: identical augment outputs where the crop
+    is degenerate (raw size == input_sz), identical shapes otherwise, and
+    per-epoch determinism."""
+    # degenerate crop: img1/mask must be bit-identical to the host path
+    kw = dict(dataset="SyntheticSeg3x40x16", input_sz=40,
+              num_dataloaders=2, batch_sz=8, dataloader_batch_sz=4,
+              use_random_affine=False)
+    pipe_r = SegTrainPipeline(_seg_cfg(**kw), ["train"], resident=True)
+    pipe_h = SegTrainPipeline(_seg_cfg(**kw), ["train"], use_native=False)
+    (i1r, _, _, mr) = next(pipe_r.epoch(0, augmented=True))
+    (i1h, _, _, mh) = next(pipe_h.epoch(0, augmented=True))
+    np.testing.assert_allclose(np.asarray(i1r), np.asarray(i1h),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mr), np.asarray(mh))
+
+    # real crop: shapes, dtypes, determinism of the device draws
+    pipe = SegTrainPipeline(_seg_cfg(), ["train"], resident=True)
+    a = [np.asarray(t[0]) for t in pipe.epoch(3, augmented=True)]
+    b = [np.asarray(t[0]) for t in pipe.epoch(3, augmented=True)]
+    (i1, i2, aff, m) = next(pipe.epoch(3, augmented=True))
+    # sobel path pre-conv channels: rgb(3) + grey(1)
+    assert i1.shape == (8, 4, 40, 40) and m.shape == (8, 40, 40)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_seg_resident_trainer_smoke(tmp_path):
+    """--resident_data through the full twohead seg trainer."""
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_trainer import train_segmentation_twohead
+    cfg = SegConfig(
+        model_ind=7, arch="SegmentationNet10aTwoHead", mode="IID",
+        dataset="SyntheticSeg3x40x16", dataset_root="", gt_k=3,
+        output_k_A=6, output_k_B=3, num_sub_heads=1, lr=1e-3,
+        num_epochs=2, batch_sz=8, num_dataloaders=1,
+        out_root=str(tmp_path), input_sz=32, half_T_side_dense=1,
+        include_rgb=True, batchnorm_track=True, test_code=True,
+        save_freq=1, resident_data=True)
+    cfg.finalize(twohead=True)
+    state, history = train_segmentation_twohead(cfg)
+    assert np.isfinite(history["epoch_loss_head_B"][0])

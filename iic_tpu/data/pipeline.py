@@ -57,7 +57,7 @@ class ClusterTrainPipeline:
 
     def __init__(self, config, partitions, seed=0, drop_last=False,
                  deterministic_shuffle=False, process_shard=None,
-                 preloaded=None):
+                 preloaded=None, resident=False):
         self.config = config
         # Multi-host: every process computes the same global batch order but
         # loads/uploads only its contiguous sub-block; the trainer assembles
@@ -108,6 +108,19 @@ class ClusterTrainPipeline:
             return (jnp.transpose(all_imgs, (0, 3, 1, 2)),
                     jnp.transpose(all_imgs_tf, (0, 3, 1, 2)))
 
+        # resident mode (--resident_data): the raw uint8 set lives in HBM;
+        # epoch yields index batches and augment_pair gathers on device —
+        # zero per-step host->device traffic (MNIST 45 MB, CIFAR 180 MB,
+        # STL10 train+unlabeled 2.9 GB all fit a 16 GB chip).
+        self.resident = resident
+        if resident:
+            res_imgs = jax.device_put(np.ascontiguousarray(self.images))
+            base_augment_pair = augment_pair
+
+            def augment_pair(idxs, key):  # noqa: F811 — resident variant
+                return base_augment_pair(
+                    jnp.take(res_imgs, idxs, axis=0), key)
+
         self.augment_pair = augment_pair
         self._augment_jit = jax.jit(augment_pair)
 
@@ -120,6 +133,7 @@ class ClusterTrainPipeline:
         (asynchronously) before batch i is yielded, overlapping upload with
         the consumer's step (SURVEY.md §7 hard part #6)."""
         bsz = self.dataloader_batch_sz
+        n = len(self.images)
         root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
         if self.deterministic_shuffle:
             order = np.random.default_rng(np.random.SeedSequence(
@@ -141,7 +155,12 @@ class ClusterTrainPipeline:
             if pc > 1:  # this process's contiguous sub-block
                 shard = bsz // pc
                 lo, hi = lo + pi * shard, lo + (pi + 1) * shard
-            if order is None:
+            if self.resident:
+                assert pc == 1, "resident mode is single-process"
+                batch = (np.arange(lo, min(hi, n), dtype=np.int32)
+                         if order is None
+                         else order[lo:hi].astype(np.int32))
+            elif order is None:
                 batch = self.images[lo:hi]
             else:
                 batch = self.images[order[lo:hi]]
@@ -243,10 +262,11 @@ def cluster_twohead_create_dataloaders(config, seed=0, drop_last=False):
     config.train_partitions_head_B = train_b
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
+    resident = getattr(config, "resident_data", False)
     return (ClusterTrainPipeline(config, train_a, seed=seed,
-                                 drop_last=drop_last),
+                                 drop_last=drop_last, resident=resident),
             ClusterTrainPipeline(config, train_b, seed=seed + 1,
-                                 drop_last=drop_last),
+                                 drop_last=drop_last, resident=resident),
             MappingLoader(config, map_a),
             MappingLoader(config, map_t))
 
@@ -316,6 +336,8 @@ def cluster_create_dataloaders(config, seed=0, drop_last=False):
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
     return (ClusterTrainPipeline(config, train, seed=seed,
-                                 drop_last=drop_last),
+                                 drop_last=drop_last,
+                                 resident=getattr(config, "resident_data",
+                                                  False)),
             MappingLoader(config, map_a),
             MappingLoader(config, map_t))

@@ -87,6 +87,7 @@ class ClusterConfig:
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
+    resident_data: bool = False  # stage dataset in HBM; gather on device
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)

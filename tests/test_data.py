@@ -371,3 +371,40 @@ def test_digits_twohead_pipeline():
     assert i1.shape == (64, 1, 24, 24) and i2.shape == i1.shape
     imgs, labels = next(iter(map_a))
     assert imgs.shape[1:] == (1, 24, 24) and labels.min() >= 0
+
+
+def test_cluster_resident_pipeline_matches_streaming():
+    """Resident cluster mode: augment_pair over gathered HBM indices gives
+    bit-identical pairs to the streaming path (same images, same keys)."""
+    def cfg():
+        return SimpleNamespace(
+            dataset="Synthetic10x28x1x96", dataset_root="", mode="IID",
+            batch_sz=32, num_dataloaders=2, input_sz=24, gt_k=10,
+            output_k_A=20, output_k_B=10, num_sub_heads=1, crop_orig=True,
+            crop_other=True, tf1_crop="centre_half", tf1_crop_sz=20,
+            tf2_crop="random", tf2_crop_szs=[16, 20, 24], rot_val=25,
+            no_flip=True, include_rgb=False, mix_train=False,
+            batchnorm_track=True)
+    pipe_r = ClusterTrainPipeline(cfg(), [True], resident=True)
+    pipe_s = ClusterTrainPipeline(cfg(), [True])
+    for (ir1, ir2), (is1, is2) in zip(pipe_r.epoch(2, augmented=True),
+                                      pipe_s.epoch(2, augmented=True)):
+        np.testing.assert_array_equal(np.asarray(ir1), np.asarray(is1))
+        np.testing.assert_array_equal(np.asarray(ir2), np.asarray(is2))
+
+
+def test_cluster_resident_trainer_smoke(tmp_path):
+    from iic_tpu.train.config import ClusterConfig
+    from iic_tpu.train.cluster_trainer import train_cluster_twohead
+    cfg = ClusterConfig(
+        model_ind=11, arch="ClusterNet6cTwoHead", mode="IID",
+        dataset="Synthetic10x28x1x64", gt_k=10, output_k_A=20,
+        output_k_B=10, num_sub_heads=1, batch_sz=16, num_dataloaders=2,
+        crop_orig=True, crop_other=True, tf1_crop="centre_half",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=[16, 20, 24],
+        input_sz=24, rot_val=25, no_flip=True, head_B_epochs=1,
+        batchnorm_track=True, lr=1e-3, num_epochs=2, test_code=True,
+        out_root=str(tmp_path), save_freq=1, resident_data=True)
+    cfg.finalize(twohead=True, sobel=False)
+    state, history = train_cluster_twohead(cfg)
+    assert np.isfinite(history["epoch_loss_head_B"][0])

@@ -122,6 +122,27 @@ def main():
     jax.block_until_ready(loss)
     resident_rate = n_pairs_res / (time.perf_counter() - t0)
 
+    # ---- resident + whole-epoch lax.scan: ONE device dispatch per epoch
+    # (epoch_scan=True), the fully fused XLA training loop.
+    erun = make_seg_train_step(
+        net, tx, lamb=1.0, head="B", half_T_side_dense=10,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+        sobel=True, include_rgb=True, use_uncollapsed_loss=True,
+        joint_impl="fft", augment=pipe_res.augment, epoch_scan=True)
+    state_sc = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), tx)
+    mat, root = pipe_res.epoch_scan_inputs(0)
+    state_sc, losses, _ = erun(state_sc, mat, root)  # compile + warm
+    jax.block_until_ready(losses)
+    n_pairs_sc = 0
+    t0 = time.perf_counter()
+    for e_i in range(1, 3):
+        mat, root = pipe_res.epoch_scan_inputs(e_i)
+        state_sc, losses, _ = erun(state_sc, mat, root)
+        n_pairs_sc += mat.shape[0] * mat.shape[1]
+    jax.block_until_ready(losses)
+    scan_rate = n_pairs_sc / (time.perf_counter() - t0)
+
     result = {
         "metric": "aug-pairs/sec/chip end-to-end (COCO-Stuff-3 seg "
                   "training: host prep + prefetch + fused augment/sobel/"
@@ -133,6 +154,7 @@ def main():
                              2),
         "device_step_only": round(step_rate, 2),
         "resident_data_mode": round(resident_rate, 2),
+        "resident_epoch_scan": round(scan_rate, 2),
     }
     print(json.dumps(result))
     return result

@@ -180,6 +180,27 @@ class ClusterTrainPipeline:
         if pending is not None:
             yield pending
 
+    def epoch_scan_inputs(self, epoch_idx):
+        """(idx_matrix (nb, bsz) int32 device array, root_key) for the
+        whole-epoch fused runner (``make_cluster_train_step(...,
+        epoch_scan=True)``). Resident mode only. Per-step keys inside the
+        scan are fold_in(root_key, b_i) — identical to ``epoch()`` — so the
+        loss sequence matches the per-step path exactly. A ragged final
+        batch is dropped (use the per-step path for exact sample counts)."""
+        assert self.resident, "epoch_scan_inputs needs resident mode"
+        bsz = self.dataloader_batch_sz
+        n = len(self.images)
+        nb = max(n // bsz, 1)
+        assert n >= bsz, (n, bsz)
+        if self.deterministic_shuffle:
+            order = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, epoch_idx])).permutation(n)
+        else:
+            order = np.arange(n)
+        mat = order[:nb * bsz].reshape(nb, bsz).astype(np.int32)
+        root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
+        return jax.device_put(mat), root
+
     def __len__(self):
         return self.num_batches
 

@@ -367,6 +367,27 @@ class SegTrainPipeline:
         if pending is not None:
             yield pending
 
+    def epoch_scan_inputs(self, epoch_idx):
+        """(idx_matrix (nb, batch_sz*r) int32, root_key) for the
+        whole-epoch fused runner (``make_seg_train_step(...,
+        epoch_scan=True)``). Resident mode only; key derivation matches
+        ``epoch()`` so per-step losses are identical; a ragged final batch
+        is dropped."""
+        assert self.resident, "epoch_scan_inputs needs resident mode"
+        bsz = self.batch_sz
+        nb = max(self.total // bsz, 1)
+        assert self.total >= bsz, (self.total, bsz)
+        order = (np.random.default_rng(np.random.SeedSequence(
+            [self.seed, epoch_idx])).permutation(self.total)
+            if self.shuffle else np.arange(self.total))
+        mat = order[:nb * bsz].reshape(nb, bsz)
+        r = self.config.num_dataloaders
+        if r > 1:  # r independent draws of the same base images
+            mat = np.tile(mat, (1, r))
+        root = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919), epoch_idx)
+        return jax.device_put(mat.astype(np.int32)), root
+
     def __len__(self):
         return self.num_batches
 

@@ -83,7 +83,7 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                             sobel=False, include_rgb=False,
                             mesh=None, axis_name="data",
                             joint_mode="global", loss_impl="xla",
-                            fused_pair_forward=False):
+                            fused_pair_forward=False, epoch_scan=False):
     """Build the jitted clustering train step for one head.
 
     step(state, base_u8 (b, H, W, C) uint8, key) ->
@@ -155,6 +155,8 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, loss, loss_nl
 
+    if epoch_scan:
+        return _wrap_epoch_scan(step_fn, mesh, axis_name)
     return _wrap(step_fn, mesh, axis_name)
 
 
@@ -164,7 +166,7 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         use_uncollapsed_loss=False, augment=None,
                         warp_impl="matmul", joint_impl="fft",
                         mesh=None, axis_name="data", joint_mode="global",
-                        fused_pair_forward=False):
+                        fused_pair_forward=False, epoch_scan=False):
     """Build the jitted segmentation train step for one head.
 
     Without ``augment``: step(state, (img1, img2, affine2_to_1, mask), key).
@@ -236,8 +238,54 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, loss, loss_nl
 
+    if epoch_scan:
+        assert augment is not None, "epoch_scan needs the fused augment"
+        return _wrap_epoch_scan(step_fn, mesh, axis_name, batch_arity=2)
     return _wrap(step_fn, mesh, axis_name,
                  batch_arity=2 if augment is not None else 4)
+
+
+def _wrap_epoch_scan(step_fn, mesh, axis_name, batch_arity=0):
+    """Fuse a WHOLE EPOCH into one jitted program: ``lax.scan`` over the
+    per-step train step. Pairs with the pipelines' resident mode
+    (--resident_data): batches are rows of an index matrix, the scan body
+    gathers/augments/steps entirely on device, and the host dispatches ONE
+    program per epoch instead of one per step — the XLA-idiomatic training
+    loop (no per-step dispatch, no host round-trips).
+
+    Returned callable: epoch_fn(state, idx_matrix (nb, bsz) int32,
+    root_key) -> (state, losses (nb,), losses_no_lamb (nb,)). Per-step keys
+    are fold_in(root_key, b_i), identical to the per-step pipeline path, so
+    the loss sequence matches the non-scan resident run exactly. Under a
+    mesh the index matrix is sharded over its batch column and the scan
+    runs inside shard_map. State buffers are donated."""
+
+    def epoch_fn(state, idx_matrix, root_key, axis):
+        def body(carry, inp):
+            idxs, b_i = inp
+            key = jax.random.fold_in(root_key, b_i)
+            batch = (idxs,) * batch_arity if batch_arity else idxs
+            new_state, loss, loss_nl = step_fn(carry, batch, key, axis=axis)
+            return new_state, (loss, loss_nl)
+
+        nb = idx_matrix.shape[0]
+        state, (losses, losses_nl) = jax.lax.scan(
+            body, state, (idx_matrix, jnp.arange(nb)))
+        return state, losses, losses_nl
+
+    if mesh is None:
+        fn = partial(epoch_fn, axis=None)
+        return jax.jit(lambda state, idx_matrix, root_key:
+                       fn(state, idx_matrix, root_key),
+                       donate_argnums=(0,))
+    sharded = jax.shard_map(
+        partial(epoch_fn, axis=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def _wrap(step_fn, mesh, axis_name, batch_arity=0):

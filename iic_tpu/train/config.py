@@ -88,6 +88,7 @@ class ClusterConfig:
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; gather on device
+    epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)
@@ -195,6 +196,7 @@ class SegConfig:
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; crop on device
+    epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
 
     # derived
     twohead: bool = True

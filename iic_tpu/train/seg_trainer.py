@@ -117,6 +117,18 @@ def train_segmentation_twohead(config):
     heads = ["A", "B"] if config.head_A_first else ["B", "A"]
     head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
 
+    # --epoch_scan: fuse each head's whole epoch into one lax.scan program
+    # (resident data, one device dispatch per epoch; ragged batch dropped).
+    scan_runners = None
+    if getattr(config, "epoch_scan", False) and not config.test_code:
+        assert getattr(config, "resident_data", False), (
+            "--epoch_scan needs --resident_data")
+        scan_runners = {
+            h: make_seg_train_step(net, tx, lamb=lambs[h], head=h,
+                                   epoch_scan=True, **common)
+            for h in ("A", "B")
+        }
+
     history = _make_history()
     next_epoch = 1
     if config.restart:
@@ -152,6 +164,21 @@ def train_segmentation_twohead(config):
             avg_loss = avg_loss_nl = 0.0
             count = 0
             for _ in range(head_epochs[head]):
+                if scan_runners is not None:
+                    mat, root = pipe.epoch_scan_inputs(e_i)
+                    state, losses, losses_nl = scan_runners[head](
+                        state, mat, root)
+                    losses = np.asarray(jax.device_get(losses))
+                    losses_nl = np.asarray(jax.device_get(losses_nl))
+                    if not np.all(np.isfinite(losses)):
+                        _log(f"Loss is NaN/inf ({losses}). Exiting.")
+                        sys.exit(1)
+                    avg_loss += float(losses.sum())
+                    avg_loss_nl += float(losses_nl.sum())
+                    count += len(losses)
+                    _log(f"  head {head} epoch-scan {len(losses)} steps "
+                         f"loss {losses[-1]:.5f} {datetime.now()}")
+                    continue
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
                     state, loss, loss_nl = ragged[head](

@@ -12,6 +12,7 @@ import pytest
 
 from iic_tpu import models
 from iic_tpu.data.pipeline import ClusterTrainPipeline
+from iic_tpu.data.seg_pipeline import SegTrainPipeline
 from iic_tpu.parallel import (
     TrainState, create_train_state, make_cluster_train_step,
     make_mesh, make_seg_train_step)
@@ -185,3 +186,124 @@ def test_fused_pair_forward_step():
     # population differs (union of views vs per view) -> close but the
     # fused path is a real distinct program
     np.testing.assert_allclose(losses[True], losses[False], atol=0.05)
+
+
+def _scan_cfg():
+    return SimpleNamespace(
+        dataset="Synthetic6x24x1x48", dataset_root="", mode="IID",
+        batch_sz=16, num_dataloaders=1, input_sz=20, gt_k=6,
+        output_k_A=12, output_k_B=6, num_sub_heads=1,
+        crop_orig=True, crop_other=True, tf1_crop="centre",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=(20,),
+        tf3_crop_diff=False, tf3_crop_sz=20, rot_val=0.0,
+        always_rot=False, no_flip=True, no_jitter=True,
+        mix_train=False, batchnorm_track=True)
+
+
+def test_cluster_epoch_scan_matches_per_step():
+    """Whole-epoch lax.scan runner (epoch_scan=True) reproduces the
+    per-step resident path: same index order, same fold_in key derivation,
+    so the loss sequence matches (fp-level drift only: the scan body is a
+    differently-compiled program and rounding compounds through adam)."""
+    cfg = _scan_cfg()
+    pipe = ClusterTrainPipeline(cfg, [True], resident=True)
+    net = models.build("ClusterNet6cTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 1, 20, 20)))
+    tx = optax.adam(1e-3)
+
+    step = make_cluster_train_step(
+        net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False)
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), tx)
+    losses_ps = []
+    for base, key in pipe.epoch(4, augmented=False):
+        state, loss, _ = step(state, base, key)
+        losses_ps.append(float(loss))
+
+    erun = make_cluster_train_step(
+        net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+        epoch_scan=True)
+    state2 = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), tx)
+    mat, root = pipe.epoch_scan_inputs(4)
+    assert mat.shape == (3, 16)
+    state2, losses, losses_nl = erun(state2, mat, root)
+    np.testing.assert_allclose(losses_ps[0], float(losses[0]), atol=1e-6)
+    np.testing.assert_allclose(losses_ps, np.asarray(losses),
+                               rtol=2e-2, atol=1e-4)
+    assert int(state2.step) == 3
+
+
+@pytest.mark.slow
+def test_cluster_epoch_scan_mesh():
+    """epoch_scan under an 8-device mesh: the scan runs inside shard_map,
+    the index matrix is sharded over its batch column, losses match the
+    sharded per-step path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    cfg = _scan_cfg()
+    pipe = ClusterTrainPipeline(cfg, [True], resident=True)
+    net = models.build("ClusterNet6cTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 1, 20, 20)))
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(8)
+
+    step = make_cluster_train_step(
+        net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+        mesh=mesh)
+    state = jax.device_put(
+        create_train_state(jax.tree_util.tree_map(jnp.copy, variables),
+                           tx), NamedSharding(mesh, P()))
+    losses_ps = []
+    for base, key in pipe.epoch(4, augmented=False):
+        base = jax.device_put(base, NamedSharding(mesh, P("data")))
+        state, loss, _ = step(state, base, key)
+        losses_ps.append(float(loss))
+
+    erun = make_cluster_train_step(
+        net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+        mesh=mesh, epoch_scan=True)
+    state2 = jax.device_put(
+        create_train_state(jax.tree_util.tree_map(jnp.copy, variables),
+                           tx), NamedSharding(mesh, P()))
+    mat, root = pipe.epoch_scan_inputs(4)
+    mat = jax.device_put(mat, NamedSharding(mesh, P(None, "data")))
+    state2, losses, _ = erun(state2, mat, root)
+    np.testing.assert_allclose(losses_ps[0], float(losses[0]), atol=1e-6)
+    np.testing.assert_allclose(losses_ps, np.asarray(losses),
+                               rtol=2e-2, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_seg_epoch_scan_smoke():
+    """Seg epoch_scan: resident gather + crop + augment + displacement MI
+    + adam scanned over the epoch in one program."""
+    cfg = SimpleNamespace(
+        dataset="SyntheticSeg3x36x24", dataset_root="", mode="IID",
+        batch_sz=8, num_dataloaders=2, dataloader_batch_sz=4, input_sz=32,
+        gt_k=3, output_k_A=6, output_k_B=3, num_sub_heads=1,
+        use_coarse_labels=False, pre_scale_all=False,
+        use_random_scale=False, jitter_brightness=0.4, jitter_contrast=0.4,
+        jitter_saturation=0.4, jitter_hue=0.125, flip_p=0.5,
+        use_random_affine=False, sobel=False, no_sobel=True,
+        include_rgb=True, using_IR=False, batchnorm_track=True,
+        half_T_side_dense=1, half_T_side_sparse_min=0,
+        half_T_side_sparse_max=0)
+    pipe = SegTrainPipeline(cfg, ["train"], resident=True)
+    net = models.build("SegmentationNet10aTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 3, 32, 32)))
+    tx = optax.adam(1e-3)
+    erun = make_seg_train_step(
+        net, tx, lamb=1.0, head="B", half_T_side_dense=1,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+        sobel=False, include_rgb=True, use_uncollapsed_loss=True,
+        augment=pipe.augment, epoch_scan=True)
+    state = create_train_state(variables, tx)
+    mat, root = pipe.epoch_scan_inputs(0)
+    # 24 imgs / dataloader_batch_sz 4 -> 6 steps; r=2 repeats -> 8 idx cols
+    assert mat.shape == (6, 8)
+    state, losses, losses_nl = erun(state, mat, root)
+    assert losses.shape == (6,) and np.all(np.isfinite(np.asarray(losses)))
+    assert int(state.step) == 6

@@ -143,3 +143,16 @@ def test_restart_reproduces_uninterrupted_run(tmp_path):
                                rtol=0, atol=0)
     np.testing.assert_array_equal(hist_resumed["eval"].epoch_acc,
                                   hist_straight["eval"].epoch_acc)
+
+
+def test_twohead_trainer_epoch_scan(tmp_path):
+    """--resident_data --epoch_scan through the full twohead trainer:
+    whole-epoch fused scan per head, one dispatch per (head, epoch)."""
+    cfg = _cfg(tmp_path, resident_data=True, epoch_scan=True,
+               test_code=False, num_epochs=3, num_sub_heads=1)
+    state, history = train_cluster_twohead(cfg)
+    assert len(history["epoch_loss_head_B"]) == 2
+    assert np.isfinite(history["epoch_loss_head_B"][-1])
+    # IID partitions concat train+test: 128 + 40 imgs -> 168 // 16 = 10
+    # steps per head-epoch; heads B and A, 2 trainer epochs
+    assert int(state.step) == 10 * 2 * 2

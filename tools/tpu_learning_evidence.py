@@ -92,6 +92,40 @@ def run_semisup():
     return result
 
 
+def run_digits_baselines():
+    """Classical unsupervised baselines on the same real digits data the
+    IIC Digits run trains on (all 1797 images), Hungarian-matched with our
+    own eval stack for a like-for-like accuracy comparison."""
+    import numpy as np
+    from sklearn.cluster import KMeans
+    from sklearn.decomposition import PCA
+    from iic_tpu.data import readers
+    from iic_tpu.evals.metrics import (
+        accuracy, hungarian_match, reorder_preds)
+
+    tr = readers.load_dataset("Digits", "", True)
+    te = readers.load_dataset("Digits", "", False)
+    imgs = np.concatenate([tr["images"], te["images"]])
+    labels = np.concatenate([tr["labels"], te["labels"]])
+    flat = imgs.reshape(len(imgs), -1).astype(np.float64) / 255.0
+
+    def matched_acc(preds):
+        match = hungarian_match(preds, labels, 10, 10)
+        return float(accuracy(reorder_preds(preds, match), labels, 10))
+
+    km = KMeans(n_clusters=10, n_init=10, random_state=0).fit(flat)
+    pca = PCA(n_components=32, random_state=0).fit_transform(flat)
+    km_pca = KMeans(n_clusters=10, n_init=10, random_state=0).fit(pca)
+    result = {
+        "experiment": "classical baselines on real digits (n=1797)",
+        "chance": 0.1,
+        "kmeans_raw_pixels_acc": matched_acc(km.labels_),
+        "kmeans_pca32_acc": matched_acc(km_pca.labels_),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -100,5 +134,7 @@ if __name__ == "__main__":
         results.append(run_twohead())
     if which in ("all", "semisup"):
         results.append(run_semisup())
+    if which in ("all", "digits_baselines"):
+        results.append(run_digits_baselines())
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)

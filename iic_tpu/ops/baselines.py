@@ -34,17 +34,44 @@ def triplets_loss(outs_orig, outs_pos, outs_neg):
         - _kl_div_elementwise_mean(neg, orig)
 
 
-def doersch_loss(position_logits, position_labels):
+def doersch_loss(position_logits, position_labels, mask_per_pred=None):
     """9-way patch-position cross-entropy (Doersch et al. context
-    prediction; reference net10a_doersch head outputs 9 logits)."""
+    prediction; reference net10a_doersch head outputs 9 logits).
+
+    With ``mask_per_pred`` (bn,) this is the reference's relevancy-masked
+    loss (code/utils/segmentation/baselines/doersch_utils.py:48-70): a
+    sample contributes iff at least one of its two patch centres lies in
+    the relevancy mask, and the sum is normalised by the kept count."""
     import optax
-    return optax.softmax_cross_entropy_with_integer_labels(
-        position_logits, position_labels).mean()
+    per_elem = optax.softmax_cross_entropy_with_integer_labels(
+        position_logits, jnp.broadcast_to(position_labels,
+                                          position_logits.shape[:1]))
+    if mask_per_pred is None:
+        return per_elem.mean()
+    m = mask_per_pred.astype(jnp.float32)
+    return (m * per_elem).sum() / m.sum()
 
 
-def isola_loss(adjacency_logit, is_adjacent):
+def isola_loss(adjacency_logit, is_adjacent, mask_per_pred=None):
     """Binary cross-entropy on the adjacency probability (Isola et al.;
-    reference net10a_isola head outputs 1 sigmoid)."""
+    reference net10a_isola head outputs 1 sigmoid).
+
+    With ``mask_per_pred`` this reproduces the reference's masked loss
+    (code/utils/segmentation/baselines/isola_utils.py:12-80): per-sample
+    -log p_t where p_t is the probability of the true class, samples whose
+    p_t < machine-eps are zeroed out entirely (the reference clamps AND
+    multiplies by an exclusion indicator), and the sum is divided by the
+    number of mask-kept samples (eps-excluded ones still count there)."""
+    import sys
     import optax
-    return optax.sigmoid_binary_cross_entropy(
-        adjacency_logit.squeeze(-1), is_adjacent.astype(jnp.float32)).mean()
+    pred = jax.nn.sigmoid(adjacency_logit.squeeze(-1))
+    gt = jnp.broadcast_to(is_adjacent, pred.shape).astype(jnp.float32)
+    if mask_per_pred is None:
+        return optax.sigmoid_binary_cross_entropy(
+            adjacency_logit.squeeze(-1), gt).mean()
+    eps = sys.float_info.epsilon
+    p_t = jnp.where(gt > 0.5, pred, 1.0 - pred)
+    keep = (p_t >= eps).astype(jnp.float32)
+    per_elem = -keep * jnp.log(jnp.maximum(p_t, eps))
+    m = mask_per_pred.astype(jnp.float32)
+    return (m * per_elem).sum() / m.sum()

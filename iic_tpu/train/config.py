@@ -180,6 +180,13 @@ class SegConfig:
     aff_min_scale: float = 0.8
     aff_max_scale: float = 1.2
     no_pre_eval: bool = False
+    # doersch/isola baselines (reference baselines/doersch.py:35,
+    # isola.py:71); per_sample_patches is a TPU-native extension: draw an
+    # independent patch pair per image instead of one pair per batch
+    doersch_patch_side: int = 11
+    isola_patch_side: int = 11
+    max_num_kmeans_samples: int = -1
+    per_sample_patches: bool = False
     # loss geometry
     half_T_side_dense: int = 0
     half_T_side_sparse_min: int = 0

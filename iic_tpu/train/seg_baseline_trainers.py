@@ -3,10 +3,17 @@
 Mirror of code/scripts/segmentation/baselines/doersch.py and isola.py:
 train the siamese patch heads with self-supervised patch-pair objectives
 (9-way relative position CE / adjacency BCE), then evaluate by k-means on
-penultimate features with Hungarian matching
-(kmeans_segmentation_eval). Patch pairs are sampled on device from the
-PRNG key (the reference's DoerschDataset wrapper becomes a pure sampling
-function).
+penultimate features with Hungarian matching (kmeans_segmentation_eval).
+
+Patch sampling follows the reference convention by default: ONE
+(centre, other, label) pair per batch, shared by every image
+("pick the same locations for all images, for computational ease" —
+code/utils/segmentation/baselines/doersch_utils.py:7-44,
+isola_utils.py:83-128), drawn on host with the reference's exact polar
+geometry, and the loss is relevancy-masked per sample (a pair counts iff
+either patch centre is mask-relevant). ``--per_sample_patches`` switches
+to the TPU-native extension: an independent pair per image, sampled on
+device from the PRNG key.
 """
 
 import sys
@@ -38,8 +45,60 @@ def _log(msg):
     sys.stdout.flush()
 
 
+def _pol2cart(r, phi):
+    """Reference general.py:21-24: returns (y, x) = (r sin phi, r cos phi)."""
+    return r * np.sin(phi), r * np.cos(phi)
+
+
+def doersch_set_patches(rng, input_sz, patch_side):
+    """One shared (centre (2,), other (2,), position_gt) per batch —
+    reference doersch_utils.py:7-44 math verbatim: position_gt in 0..8
+    maps to angle position_gt*pi/4 (classes 0 and 8 alias at phi=0; there
+    is no centre class), radius uniform in [1.5, 2)*patch_side, centre
+    uniform in [1.5p, sz-1.5p), rejection-resample until ``other`` clears
+    the floor(p/2) border."""
+    img_sz = np.array([input_sz, input_sz])
+    d_border = np.floor(patch_side / 2.0) * np.ones(2)
+    patch = np.array([patch_side, patch_side], np.float64)
+    while True:
+        position_gt = int(rng.integers(9))
+        start, end = 1.5 * patch, img_sz - 1.5 * patch
+        centre = np.floor(rng.random(2) * (end - start) + start).astype(int)
+        r = rng.random() * (2.0 - 1.5) * patch_side + 1.5 * patch_side
+        dh, dw = _pol2cart(r, position_gt * np.pi / 4.0)
+        other = (centre + np.array([dh, dw])).astype(np.int32)
+        if (other >= d_border).all() and (other < img_sz - d_border).all():
+            return centre.astype(np.int32), other, position_gt
+
+
+def isola_set_patches(rng, input_sz, patch_side):
+    """One shared (centre, other, adjacent) per batch — reference
+    isola_utils.py:83-128: adjacent pairs are DIAGONAL block neighbours
+    (dh, dw both +-patch_side); non-adjacent ones sit at radius
+    [2p, max(h,w)) in a uniform random direction."""
+    img_sz = np.array([input_sz, input_sz])
+    d_border = np.floor(patch_side / 2.0) * np.ones(2)
+    patch = np.array([patch_side, patch_side], np.float64)
+    adjacent = bool(rng.random() < 0.5)
+    while True:
+        start, end = 1.5 * patch, img_sz - 1.5 * patch
+        centre = np.floor(rng.random(2) * (end - start) + start).astype(int)
+        if adjacent:
+            d = np.array([rng.choice([-1, 1]) * patch_side,
+                          rng.choice([-1, 1]) * patch_side])
+            other = np.floor(centre + d).astype(np.int32)
+        else:
+            r = rng.random() * (input_sz - 2.0 * patch_side) \
+                + 2.0 * patch_side
+            dh, dw = _pol2cart(r, rng.random() * 2.0 * np.pi)
+            other = (centre + np.array([dh, dw])).astype(np.int32)
+        if (other >= d_border).all() and (other < img_sz - d_border).all():
+            return centre.astype(np.int32), other, int(adjacent)
+
+
 def sample_doersch_pairs(key, batch, input_sz, patch_side):
-    """Per-sample (centre, other, position_label)."""
+    """Per-sample (centre, other, position_label) — the on-device
+    ``--per_sample_patches`` variant (3x3 grid of offsets incl. centre)."""
     k1, k2 = jax.random.split(key)
     margin = patch_side // 2 + patch_side + 1
     centre = jax.random.randint(k1, (batch, 2), margin, input_sz - margin)
@@ -92,18 +151,33 @@ def train_seg_baseline(config, kind):
     include_rgb = config.include_rgb
     using_ir = config.using_IR
     augment = pipe.augment
+    per_sample = getattr(config, "per_sample_patches", False)
     sample_fn = (sample_doersch_pairs if kind == "doersch"
                  else sample_isola_pairs)
+    set_fn = (doersch_set_patches if kind == "doersch"
+              else isola_set_patches)
     loss_fn_impl = doersch_loss if kind == "doersch" else isola_loss
 
     @jax.jit
-    def train_step(state, imgs_u8, masks_u8, key):
+    def train_step(state, imgs_u8, masks_u8, key, centre_in, other_in,
+                   labels_in):
         k_aug, k_pairs, k_drop = jax.random.split(key, 3)
-        img1, _, _, _ = augment(imgs_u8, masks_u8, k_aug)
+        img1, _, _, mask = augment(imgs_u8, masks_u8, k_aug)
         if sobel:
             img1 = sobel_process(img1, include_rgb, using_IR=using_ir)
-        centre, other, labels = sample_fn(
-            k_pairs, img1.shape[0], config.input_sz, patch_side)
+        if per_sample:
+            centre, other, labels = sample_fn(
+                k_pairs, img1.shape[0], config.input_sz, patch_side)
+        else:  # reference convention: one shared pair per batch
+            bn = img1.shape[0]
+            centre = jnp.broadcast_to(centre_in, (bn, 2))
+            other = jnp.broadcast_to(other_in, (bn, 2))
+            labels = labels_in
+        # relevancy mask per pair: kept iff either patch centre is in the
+        # mask (doersch_utils.py:55-58 / isola_utils.py:27-30)
+        gather = jax.vmap(lambda m, c: m[c[0], c[1]])
+        mask_per_pred = ((gather(mask, centre) + gather(mask, other))
+                         > 0).astype(jnp.float32)
 
         def loss_fn(params):
             v = {"params": params}
@@ -117,7 +191,7 @@ def train_seg_baseline(config, kind):
                 logits = net.apply(v, img1, centre=centre, other=other,
                                    train=True, rngs={"dropout": k_drop})
                 bs = state.batch_stats
-            return loss_fn_impl(logits, labels), bs
+            return loss_fn_impl(logits, labels, mask_per_pred), bs
 
         (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -139,6 +213,11 @@ def train_seg_baseline(config, kind):
             v["batch_stats"] = state.batch_stats
         return lambda imgs: features_fn_raw(v, imgs)
 
+    # --max_num_kmeans_samples (reference doersch.py:36): cap the pixel
+    # features sampled for the k-means eval; <= 0 keeps our default.
+    cap = getattr(config, "max_num_kmeans_samples", -1)
+    kmeans_kwargs = {"max_num_samples": cap} if cap > 0 else {}
+
     history = {"epoch_acc": [], "epoch_loss": []}
     next_epoch = 1
     if config.restart:
@@ -147,7 +226,8 @@ def train_seg_baseline(config, kind):
         next_epoch = last_epoch + 1
     else:
         stats = kmeans_segmentation_eval(
-            make_features_fn(state), map_assign, config.gt_k)
+            make_features_fn(state), map_assign, config.gt_k,
+            **kmeans_kwargs)
         history["epoch_acc"].append(stats["acc"])
         _log(f"Pre: kmeans acc {stats['acc']:.6f}")
 
@@ -157,7 +237,17 @@ def train_seg_baseline(config, kind):
         count = 0
         for b_i, (imgs, masks, key) in enumerate(
                 pipe.epoch(e_i, augmented=False)):
-            state, loss = train_step(state, imgs, masks, key)
+            if per_sample:
+                centre = other = jnp.zeros((2,), jnp.int32)
+                labels = jnp.zeros((), jnp.int32)
+            else:
+                rng = np.random.default_rng(np.random.SeedSequence(
+                    [config.seed, e_i, b_i]))
+                c, o, lab = set_fn(rng, config.input_sz, patch_side)
+                centre, other = jnp.asarray(c), jnp.asarray(o)
+                labels = jnp.asarray(lab, jnp.int32)
+            state, loss = train_step(state, imgs, masks, key,
+                                     centre, other, labels)
             loss = float(loss)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -169,7 +259,8 @@ def train_seg_baseline(config, kind):
         history["epoch_loss"].append(avg_loss / count)
 
         stats = kmeans_segmentation_eval(
-            make_features_fn(state), map_assign, config.gt_k)
+            make_features_fn(state), map_assign, config.gt_k,
+            **kmeans_kwargs)
         acc = stats["acc"]
         is_best = acc > max(history["epoch_acc"])
         history["epoch_acc"].append(acc)

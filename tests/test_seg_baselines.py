@@ -85,3 +85,24 @@ def test_doersch_baseline_smoke(tmp_path):
     state, history = train_seg_baseline(cfg, kind="doersch")
     assert np.isfinite(history["epoch_loss"][0])
     assert len(history["epoch_acc"]) == 2
+
+
+def test_isola_baseline_smoke(tmp_path):
+    """Isola adjacency baseline end-to-end with the reference's shared
+    per-batch patch sampling + masked BCE."""
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_baseline_trainers import train_seg_baseline
+
+    cfg = SegConfig(
+        model_ind=52, arch="SegmentationNet10aIsola", mode="IID",
+        dataset="SyntheticSeg3x64x12", dataset_root="", gt_k=3,
+        output_k_A=3, output_k_B=3, num_sub_heads=1, lr=1e-3,
+        num_epochs=2, batch_sz=4, num_dataloaders=1,
+        out_root=str(tmp_path), input_sz=56, half_T_side_dense=0,
+        include_rgb=True, batchnorm_track=True, test_code=True,
+        save_freq=1)
+    cfg.finalize(twohead=False)
+    cfg.isola_patch_side = 5
+    state, history = train_seg_baseline(cfg, kind="isola")
+    assert np.isfinite(history["epoch_loss"][0])
+    assert len(history["epoch_acc"]) == 2

@@ -90,14 +90,27 @@ def render(data, mode, name, colour_map=None, offset=0, out_dir=""):
         raise ValueError(mode)
 
 
+def get_coord(probs, num_classes):
+    """Convex-combination coordinate of a probability vector over the
+    class anchor circle — reference render.py:158-170 verbatim math:
+    anchor c sits at (sin, cos) of 2*pi*c/k, the point is the
+    probs-weighted (sum-normalised) average of the anchors."""
+    probs = np.asarray(probs, np.float64)
+    ang = 2.0 * np.pi * (np.arange(num_classes) / float(num_classes))
+    anchors = np.stack([np.sin(ang), np.cos(ang)], axis=1)  # (k, 2)
+    return (probs / probs.sum()) @ anchors
+
+
 def save_progress(config, apply_fn, mapping_assignment_dataloader,
                   mapping_test_dataloader, index, render_count=50,
                   out_dir=None):
     """MNIST progression point cloud (reference code/utils/cluster/
-    render.py:16-170): soft predictions of the best sub-head, reordered by
-    the Hungarian match, drawn as convex combinations of gt_k anchor points
-    on a circle (colour via GT_TO_ORDER), plus per-cluster average images.
-    """
+    render.py:16-156), reference layout: a 148x148 canvas
+    (scale 50, border 24) with each test image drawn as a 2x2 point at the
+    convex combination of its reordered soft prediction, coloured by its
+    GROUND-TRUTH class through GT_TO_ORDER, and the soft-weighted average
+    image of every cluster embedded in the border at that cluster's anchor
+    direction (16x16, bilinear)."""
     from PIL import Image
 
     from iic_tpu.evals.cluster_eval import get_assignment_data_matches
@@ -124,34 +137,57 @@ def save_progress(config, apply_fn, mapping_assignment_dataloader,
     imgs_all = np.concatenate(imgs_all)
 
     k = config.gt_k
+    order_map = (GT_TO_ORDER if k == 10
+                 else list(range(k)))  # reference is MNIST-only
     reordered = np.zeros_like(soft_preds)
     for pred_i, target_i in match:
-        order = GT_TO_ORDER[target_i] if k == 10 else target_i
-        reordered[:, order] += soft_preds[:, pred_i]
+        reordered[:, order_map[target_i]] += soft_preds[:, pred_i]
 
-    # anchor points on a circle, point = convex combination of anchors
-    angles = np.linspace(0, 2 * np.pi, k, endpoint=False)
-    anchors = np.stack([np.cos(angles), np.sin(angles)], axis=1)
-    points = reordered @ anchors  # (N, 2)
-
-    side = 400
+    # canvas geometry (reference render.py:66-77)
+    scale, border, point_half_side = 50, 24, 1
+    half_border = int(border * 0.5)
+    average_half_side = int(half_border * np.cos(np.radians(45)))
+    average_side = average_half_side * 2
+    side = 2 * (scale + border)
     canvas = np.full((side, side, 3), 255, np.uint8)
     colours = _palette(k)
-    coords = ((points + 1.1) / 2.2 * (side - 1)).astype(int)
-    hard = reordered.argmax(axis=1)
-    for (x, y), c in zip(coords, hard):
-        canvas[np.clip(y, 0, side - 1), np.clip(x, 0, side - 1)] = \
-            colours[c]
-    Image.fromarray(canvas).save(
-        os.path.join(out_dir, f"progression_{index:04d}.png"))
 
-    # per-cluster average images
+    # points: [-1, 1] -> [border, 2*scale + border], 2x2, coloured by the
+    # GROUND-TRUTH class (render.py:80-92)
+    ang = 2.0 * np.pi * (np.arange(k) / float(k))
+    anchors = np.stack([np.sin(ang), np.cos(ang)], axis=1)
+    points = (reordered / reordered.sum(axis=1, keepdims=True)) @ anchors
+    coords = (points * scale + scale).astype(np.int32) + border
+    for (cy, cx), tgt in zip(coords, targets):
+        colour = colours[order_map[int(tgt)]]
+        canvas[cy - point_half_side:cy + point_half_side,
+               cx - point_half_side:cx + point_half_side] = colour
+
+    # per-cluster soft-weighted average images embedded in the border at
+    # each cluster's anchor direction (render.py:95-151)
+    hard = reordered.argmax(axis=1)
+    weight = reordered[np.arange(len(hard)), hard]
+    grey = imgs_all[:, 0] * 255.0  # (N, H, W) in [0, 255]
     for c in range(k):
         sel = hard == c
-        if sel.sum() == 0:
-            continue
-        avg = imgs_all[sel].mean(axis=0)[0]  # grey channel
-        Image.fromarray(
-            (np.clip(avg, 0, 1) * 255).astype(np.uint8)).save(
-            os.path.join(out_dir, f"avg_{index:04d}_cluster{c}.png"))
+        norm = weight[sel].sum()
+        if norm > np.finfo(np.float64).eps:
+            avg = (weight[sel, None, None] * grey[sel]).sum(axis=0) / norm
+        else:
+            avg = np.zeros(grey.shape[1:])
+        tile = Image.fromarray(avg.astype(np.uint8)).resize(
+            (average_side, average_side), Image.BILINEAR)
+        tile = np.repeat(np.array(tile)[:, :, None], 3, axis=2)
+        onehot = np.zeros(k)
+        onehot[c] = 1.0
+        coord = get_coord(onehot, k)
+        coord = (coord * (scale + half_border)
+                 + (scale + half_border)).astype(np.int32) + half_border
+        canvas[coord[0] - average_half_side:coord[0] + average_half_side,
+               coord[1] - average_half_side:coord[1] + average_half_side] \
+            = tile
+
+    Image.fromarray(canvas).save(os.path.join(
+        out_dir, "%d_run_%d_colour_0_pointcloud_%s.png"
+                 % (config.model_ind, render_count, index)))
     return out_dir

@@ -113,7 +113,12 @@ def test_save_progress(stored_run, tmp_path):
     apply_fn = make_eval_apply(net, state, config, head="B")
     out_dir = save_progress(config, apply_fn, map_a, map_t, index=0,
                             out_dir=str(tmp_path / "prog"))
-    assert os.path.exists(os.path.join(out_dir, "progression_0000.png"))
+    # reference filename convention (render.py:152-155) + canvas geometry
+    from PIL import Image
+    path = os.path.join(
+        out_dir, f"{config.model_ind}_run_50_colour_0_pointcloud_0.png")
+    assert os.path.exists(path)
+    assert Image.open(path).size == (148, 148)  # 2 * (scale 50 + border 24)
 
 
 def test_kmeans_cluster_assess():

@@ -12,6 +12,7 @@ gathers that XLA vectorises on the VPU; the op is fully differentiable in
 ``data`` (the warp inside the seg loss must carry gradients).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -130,6 +131,8 @@ def perform_affine_tf(data, tf_matrices, impl="matmul"):
     if impl == "gather":
         grid = affine_grid(tf_matrices, data.shape)
         return grid_sample(data, grid)
+    if impl == "matmul_exact":
+        return affine_warp_matmul_exact(data, tf_matrices)
     return affine_warp_matmul(data, tf_matrices)
 
 
@@ -180,3 +183,68 @@ def affine_warp_matmul(data, theta):
     k2 = jnp.maximum(0.0, 1.0 - jnp.abs(xpos[..., None] - q_idx))
     out = jnp.einsum("nchq,nhjq->nchj", tmp, k2)
     return out
+
+
+def _pixel_space_affine(theta, H, W):
+    """Normalised-coordinate (N, 2, 3) theta -> pixel-space coefficients:
+    source X(i, j) = a*j + b*i + tx, Y(i, j) = c*j + d*i + ty (align
+    corners: -1 maps to pixel 0, +1 to pixel size-1)."""
+    t = theta.astype(jnp.float32)
+    a = t[:, 0, 0]
+    b = t[:, 0, 1] * (W - 1) / (H - 1)
+    tx = (W - 1) / 2.0 * (1.0 - t[:, 0, 0] - t[:, 0, 1] + t[:, 0, 2])
+    c = t[:, 1, 0] * (H - 1) / (W - 1)
+    d = t[:, 1, 1]
+    ty = (H - 1) / 2.0 * (1.0 - t[:, 1, 0] - t[:, 1, 1] + t[:, 1, 2])
+    return a, b, tx, c, d, ty
+
+
+def affine_warp_matmul_exact(data, theta, row_chunk=8):
+    """EXACT zero-padded bilinear affine warp (bit-matches the gather
+    path / torch grid_sample) with no gather anywhere: for each output
+    pixel the two bilinear taps per axis are the hat function
+    ``max(0, 1 - |pos - idx|)`` evaluated against the full index range, so
+    the warp becomes a dense interpolation contraction
+
+        out[n,c,i,j] = sum_p sum_q data[n,c,p,q]
+                       * hat(Y(i,j) - p) * hat(X(i,j) - q)
+
+    evaluated in output-row chunks: the p-contraction is a batched matmul
+    on the MXU (f32), the q-reduction an elementwise multiply-sum on the
+    VPU. Unlike ``affine_warp_matmul`` this does not factorise the warp
+    into two sheared 1-D passes, so there is no parallelogram-footprint
+    deviation and no |a| >> 0 requirement — at ~H x the FLOPs (still MXU
+    work, used for exact-parity mode, not the training default).
+
+    Memory is bounded by ``row_chunk`` output rows in flight
+    (intermediate (N, C, R, W, W) f32); row_chunk is lowered to the
+    nearest divisor of H."""
+    n, ch, H, W = data.shape
+    while H % row_chunk:
+        row_chunk -= 1
+    a, b, tx, c, d, ty = _pixel_space_affine(theta, H, W)
+    p_idx = jnp.arange(H, dtype=jnp.float32)
+    q_idx = jnp.arange(W, dtype=jnp.float32)
+    j_idx = jnp.arange(W, dtype=jnp.float32)
+    data_f = data.astype(jnp.float32)
+
+    def one_chunk(i0):
+        i_rows = i0 * row_chunk + jnp.arange(row_chunk, dtype=jnp.float32)
+        # (n, R, W) source coords for this chunk of output rows
+        xpos = (b[:, None, None] * i_rows[None, :, None]
+                + a[:, None, None] * j_idx[None, None, :]
+                + tx[:, None, None])
+        ypos = (d[:, None, None] * i_rows[None, :, None]
+                + c[:, None, None] * j_idx[None, None, :]
+                + ty[:, None, None])
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ypos[..., None] - p_idx))
+        # contract the source-row axis p on the MXU: (n,C,p,q)x(n,R,j,p)
+        t_ = jnp.einsum("ncpq,nrjp->ncrjq", data_f, wy,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xpos[..., None] - q_idx))
+        return (t_ * wx[:, None]).sum(-1)  # (n, C, R, W)
+
+    chunks = jax.lax.map(one_chunk, jnp.arange(H // row_chunk))
+    # (H/R, n, C, R, W) -> (n, C, H, W)
+    return jnp.transpose(chunks, (1, 2, 0, 3, 4)).reshape(n, ch, H, W)

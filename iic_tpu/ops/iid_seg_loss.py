@@ -195,9 +195,12 @@ def _warp_mask(x1_outs, x2_outs, all_affine2_to_1, all_mask_img1,
     x1's frame, optional sparse random translation, relevancy masking
     (reference: code/utils/segmentation/IID_losses.py:26-45).
 
-    warp_impl: "gather" = exact torch-parity bilinear (default on the
-    public surface); "matmul" = the TPU-native two-matmul warp (an order of
-    magnitude faster on TPU — training steps default to it via config)."""
+    warp_impl: "gather" = exact torch-parity bilinear via XLA gathers
+    (default on the public surface); "matmul_exact" = the same exact
+    bilinear semantics as a chunked dense-interpolation contraction on the
+    MXU — bit-equivalent, ~10x faster on TPU (--exact_warp uses it);
+    "matmul" = the fastest two-pass sheared warp (deviates on a 1-px
+    band; training steps default to it via config)."""
     assert x1_outs.shape == x2_outs.shape
     bn, k, h, w = x1_outs.shape
 

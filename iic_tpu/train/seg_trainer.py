@@ -95,7 +95,7 @@ def train_segmentation_twohead(config):
         sobel=config.sobel, include_rgb=config.include_rgb,
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
-        warp_impl="gather" if config.exact_warp else "matmul",
+        warp_impl="matmul_exact" if config.exact_warp else "matmul",
         augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode,
         fused_pair_forward=getattr(config, "fused_pair_forward", False))
     steps = {
@@ -250,7 +250,7 @@ def train_segmentation_single(config):
             sobel=config.sobel, include_rgb=config.include_rgb,
             using_IR=config.using_IR,
             use_uncollapsed_loss=config.use_uncollapsed_loss,
-            warp_impl="gather" if config.exact_warp else "matmul",
+            warp_impl="matmul_exact" if config.exact_warp else "matmul",
             augment=pipe.augment, mesh=step_mesh,
             joint_mode=config.joint_mode,
             fused_pair_forward=getattr(config, "fused_pair_forward",

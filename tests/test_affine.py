@@ -100,3 +100,34 @@ def test_grid_sample_differentiable():
     g = jax.grad(f)(jnp.asarray(data))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_matmul_exact_matches_gather():
+    """affine_warp_matmul_exact: bit-level (fp) parity with the gather
+    path in both values and input gradients, on aggressive affines where
+    the fast two-pass warp deviates."""
+    from iic_tpu.ops.affine import affine_warp_matmul_exact
+
+    rng = np.random.default_rng(7)
+    n, c, h, w = 4, 3, 24, 24
+    data = jnp.asarray(rng.uniform(0, 1, (n, c, h, w)).astype(np.float32))
+    ths = []
+    for _ in range(n):
+        a = rng.uniform(-0.6, 0.6)
+        sh = rng.uniform(-0.2, 0.2)
+        s = rng.uniform(0.8, 1.2)
+        ths.append([[s * np.cos(a), -np.sin(a) + sh, rng.uniform(-.3, .3)],
+                    [np.sin(a), s * np.cos(a), rng.uniform(-.3, .3)]])
+    theta = jnp.asarray(np.asarray(ths, np.float32))
+
+    ref = perform_affine_tf(data, theta, impl="gather")
+    got = affine_warp_matmul_exact(data, theta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(lambda d: (perform_affine_tf(
+        d, theta, impl="gather") ** 2).sum())(data)
+    g_got = jax.grad(lambda d: (affine_warp_matmul_exact(
+        d, theta) ** 2).sum())(data)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)

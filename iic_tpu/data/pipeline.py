@@ -124,6 +124,16 @@ class ClusterTrainPipeline:
         self.augment_pair = augment_pair
         self._augment_jit = jax.jit(augment_pair)
 
+    def _epoch_order_root(self, epoch_idx):
+        """(visiting order | None for sequential, root PRNG key) for one
+        epoch — the single source of truth shared by ``epoch()`` and
+        ``epoch_scan_inputs`` so their loss sequences stay identical."""
+        root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
+        order = (np.random.default_rng(np.random.SeedSequence(
+            [self.seed, epoch_idx])).permutation(len(self.images))
+            if self.deterministic_shuffle else None)
+        return order, root
+
     def epoch(self, epoch_idx, augmented=True):
         """Iterate deterministic sequential batches. ``augmented=False``
         yields (base_uint8 device array, key) for fusion into a train step;
@@ -134,12 +144,7 @@ class ClusterTrainPipeline:
         the consumer's step (SURVEY.md §7 hard part #6)."""
         bsz = self.dataloader_batch_sz
         n = len(self.images)
-        root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
-        if self.deterministic_shuffle:
-            order = np.random.default_rng(np.random.SeedSequence(
-                [self.seed, epoch_idx])).permutation(len(self.images))
-        else:
-            order = None
+        order, root = self._epoch_order_root(epoch_idx)
         pi, pc = self.process_shard or (
             jax.process_index(), jax.process_count())
         if pc > 1:
@@ -192,13 +197,10 @@ class ClusterTrainPipeline:
         n = len(self.images)
         nb = max(n // bsz, 1)
         assert n >= bsz, (n, bsz)
-        if self.deterministic_shuffle:
-            order = np.random.default_rng(np.random.SeedSequence(
-                [self.seed, epoch_idx])).permutation(n)
-        else:
+        order, root = self._epoch_order_root(epoch_idx)
+        if order is None:
             order = np.arange(n)
         mat = order[:nb * bsz].reshape(nb, bsz).astype(np.int32)
-        root = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_idx)
         return jax.device_put(mat), root
 
     def __len__(self):

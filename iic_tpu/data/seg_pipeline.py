@@ -305,20 +305,29 @@ class SegTrainPipeline:
         assert ret == 0
         return imgs_out, masks_out
 
+    def _epoch_order_root(self, epoch_idx):
+        """(visiting order, root PRNG key, order rng) for one epoch — the
+        single source of truth shared by ``epoch()`` and
+        ``epoch_scan_inputs`` so their loss sequences stay identical. The
+        returned rng continues from the permutation draw (the host
+        geometry rng when single-process)."""
+        order_rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch_idx]))
+        order = (order_rng.permutation(self.total) if self.shuffle
+                 else np.arange(self.total))
+        root = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 7919), epoch_idx)
+        return order, root, order_rng
+
     def epoch(self, epoch_idx, augmented=False):
         pi, pc = self.process_shard or (
             jax.process_index(), jax.process_count())
         # the visiting order is GLOBAL (identical on every process); the
         # per-sample geometry rng is per-process so shards' augmentation
         # draws are decorrelated
-        order_rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch_idx]))
-        order = (order_rng.permutation(self.total) if self.shuffle
-                 else np.arange(self.total))
+        order, root, order_rng = self._epoch_order_root(epoch_idx)
         rng = (order_rng if pc == 1 else np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch_idx, 97, pi])))
-        root = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + 7919), epoch_idx)
         r = self.config.num_dataloaders
         if self.resident:
             assert pc == 1, "resident mode is single-process"
@@ -377,15 +386,11 @@ class SegTrainPipeline:
         bsz = self.batch_sz
         nb = max(self.total // bsz, 1)
         assert self.total >= bsz, (self.total, bsz)
-        order = (np.random.default_rng(np.random.SeedSequence(
-            [self.seed, epoch_idx])).permutation(self.total)
-            if self.shuffle else np.arange(self.total))
+        order, root, _ = self._epoch_order_root(epoch_idx)
         mat = order[:nb * bsz].reshape(nb, bsz)
         r = self.config.num_dataloaders
         if r > 1:  # r independent draws of the same base images
             mat = np.tile(mat, (1, r))
-        root = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + 7919), epoch_idx)
         return jax.device_put(mat.astype(np.int32)), root
 
     def __len__(self):

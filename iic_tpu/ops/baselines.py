@@ -48,8 +48,7 @@ def doersch_loss(position_logits, position_labels, mask_per_pred=None):
                                           position_logits.shape[:1]))
     if mask_per_pred is None:
         return per_elem.mean()
-    m = mask_per_pred.astype(jnp.float32)
-    return (m * per_elem).sum() / m.sum()
+    return _masked_mean(per_elem, mask_per_pred)
 
 
 def isola_loss(adjacency_logit, is_adjacent, mask_per_pred=None):
@@ -73,5 +72,14 @@ def isola_loss(adjacency_logit, is_adjacent, mask_per_pred=None):
     p_t = jnp.where(gt > 0.5, pred, 1.0 - pred)
     keep = (p_t >= eps).astype(jnp.float32)
     per_elem = -keep * jnp.log(jnp.maximum(p_t, eps))
-    m = mask_per_pred.astype(jnp.float32)
-    return (m * per_elem).sum() / m.sum()
+    return _masked_mean(per_elem, mask_per_pred)
+
+
+def _masked_mean(per_elem, mask):
+    """sum(mask * x) / sum(mask), returning 0 for an all-irrelevant batch
+    (the reference divides by the raw count and NaN-crashes there —
+    doersch_utils.py:61-70; we keep training alive instead)."""
+    m = mask.astype(jnp.float32)
+    norm = m.sum()
+    return jnp.where(norm > 0, (m * per_elem).sum()
+                     / jnp.maximum(norm, 1.0), 0.0)

@@ -50,6 +50,30 @@ def set_lr_mult(state, lr_mult):
         hyperparams=hp))
 
 
+def run_epoch_scan(runner, pipe, state, e_i, head, repeats):
+    """Drive ``repeats`` fused head-epochs through an epoch_scan runner
+    (shared by the cluster and seg trainers). (mat, root) depend only on
+    e_i, so they are computed once and reused across repeats — identical
+    to the per-step path, which also replays the same order and keys each
+    repeat. Returns (state, loss_sum, loss_no_lamb_sum, step_count)."""
+    mat, root = pipe.epoch_scan_inputs(e_i)
+    loss_sum = loss_nl_sum = 0.0
+    n = 0
+    for _ in range(repeats):
+        state, losses, losses_nl = runner(state, mat, root)
+        losses = np.asarray(jax.device_get(losses))
+        losses_nl = np.asarray(jax.device_get(losses_nl))
+        if not np.all(np.isfinite(losses)):
+            _log(f"Loss is NaN/inf ({losses}). Exiting.")
+            sys.exit(1)
+        loss_sum += float(losses.sum())
+        loss_nl_sum += float(losses_nl.sum())
+        n += len(losses)
+        _log(f"  head {head} epoch-scan {len(losses)} steps "
+             f"loss {losses[-1]:.5f} {datetime.now()}")
+    return state, loss_sum, loss_nl_sum, n
+
+
 def _make_history():
     return {
         "eval": EvalHistory(),
@@ -257,6 +281,7 @@ def train_cluster_twohead(config):
                 net, tx, pipes[h].augment_pair, lamb=lambs[h], head=h,
                 sobel=config.sobel, include_rgb=config.include_rgb,
                 mesh=mesh, joint_mode=config.joint_mode,
+                loss_impl=loss_impl,
                 fused_pair_forward=getattr(config, "fused_pair_forward",
                                            False),
                 epoch_scan=True)
@@ -295,22 +320,12 @@ def train_cluster_twohead(config):
         for head in heads:
             avg_loss = avg_loss_nl = 0.0
             count = 0
-            for _ in range(head_epochs[head]):
-                if scan_runners is not None:
-                    mat, root = pipes[head].epoch_scan_inputs(e_i)
-                    state, losses, losses_nl = scan_runners[head](
-                        state, mat, root)
-                    losses = np.asarray(jax.device_get(losses))
-                    losses_nl = np.asarray(jax.device_get(losses_nl))
-                    if not np.all(np.isfinite(losses)):
-                        _log(f"Loss is NaN/inf ({losses}). Exiting.")
-                        sys.exit(1)
-                    avg_loss += float(losses.sum())
-                    avg_loss_nl += float(losses_nl.sum())
-                    count += len(losses)
-                    _log(f"  head {head} epoch-scan {len(losses)} steps "
-                         f"loss {losses[-1]:.5f} {datetime.now()}")
-                    continue
+            if scan_runners is not None:
+                state, avg_loss, avg_loss_nl, count = run_epoch_scan(
+                    scan_runners[head], pipes[head], state, e_i, head,
+                    head_epochs[head])
+            repeats = 0 if scan_runners is not None else head_epochs[head]
+            for _ in range(repeats):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
                     state, loss, loss_nl = ragged[head](

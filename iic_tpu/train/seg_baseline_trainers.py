@@ -57,6 +57,7 @@ def doersch_set_patches(rng, input_sz, patch_side):
     is no centre class), radius uniform in [1.5, 2)*patch_side, centre
     uniform in [1.5p, sz-1.5p), rejection-resample until ``other`` clears
     the floor(p/2) border."""
+    assert input_sz > 3 * patch_side, (input_sz, patch_side)
     img_sz = np.array([input_sz, input_sz])
     d_border = np.floor(patch_side / 2.0) * np.ones(2)
     patch = np.array([patch_side, patch_side], np.float64)
@@ -76,11 +77,19 @@ def isola_set_patches(rng, input_sz, patch_side):
     isola_utils.py:83-128: adjacent pairs are DIAGONAL block neighbours
     (dh, dw both +-patch_side); non-adjacent ones sit at radius
     [2p, max(h,w)) in a uniform random direction."""
+    assert input_sz > 3 * patch_side, (input_sz, patch_side)
     img_sz = np.array([input_sz, input_sz])
     d_border = np.floor(patch_side / 2.0) * np.ones(2)
     patch = np.array([patch_side, patch_side], np.float64)
     adjacent = bool(rng.random() < 0.5)
+    attempt = 0
     while True:
+        # the reference never resamples `adjacent` inside its retry loop;
+        # on small images a non-adjacent placement can be geometrically
+        # impossible, so re-draw it occasionally instead of hanging
+        attempt += 1
+        if attempt % 100 == 0:
+            adjacent = bool(rng.random() < 0.5)
         start, end = 1.5 * patch, img_sz - 1.5 * patch
         centre = np.floor(rng.random(2) * (end - start) + start).astype(int)
         if adjacent:

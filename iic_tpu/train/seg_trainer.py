@@ -24,7 +24,8 @@ from iic_tpu.parallel.mesh import (make_batch_globalizer,
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
     _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
-    make_optimizer, make_ragged_fallback, mesh_drop_last, set_lr_mult)
+    make_optimizer, make_ragged_fallback, mesh_drop_last, run_epoch_scan,
+    set_lr_mult)
 from iic_tpu.train.config import config_to_str
 
 
@@ -163,22 +164,12 @@ def train_segmentation_twohead(config):
         for head in heads:
             avg_loss = avg_loss_nl = 0.0
             count = 0
-            for _ in range(head_epochs[head]):
-                if scan_runners is not None:
-                    mat, root = pipe.epoch_scan_inputs(e_i)
-                    state, losses, losses_nl = scan_runners[head](
-                        state, mat, root)
-                    losses = np.asarray(jax.device_get(losses))
-                    losses_nl = np.asarray(jax.device_get(losses_nl))
-                    if not np.all(np.isfinite(losses)):
-                        _log(f"Loss is NaN/inf ({losses}). Exiting.")
-                        sys.exit(1)
-                    avg_loss += float(losses.sum())
-                    avg_loss_nl += float(losses_nl.sum())
-                    count += len(losses)
-                    _log(f"  head {head} epoch-scan {len(losses)} steps "
-                         f"loss {losses[-1]:.5f} {datetime.now()}")
-                    continue
+            if scan_runners is not None:
+                state, avg_loss, avg_loss_nl, count = run_epoch_scan(
+                    scan_runners[head], pipe, state, e_i, head,
+                    head_epochs[head])
+            repeats = 0 if scan_runners is not None else head_epochs[head]
+            for _ in range(repeats):
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
                     state, loss, loss_nl = ragged[head](

@@ -90,15 +90,19 @@ def render(data, mode, name, colour_map=None, offset=0, out_dir=""):
         raise ValueError(mode)
 
 
+def _anchor_points(num_classes):
+    """(k, 2) class anchors on the unit circle: (sin, cos) of 2*pi*c/k
+    (reference render.py:158-170 axis convention: row = sin, col = cos)."""
+    ang = 2.0 * np.pi * (np.arange(num_classes) / float(num_classes))
+    return np.stack([np.sin(ang), np.cos(ang)], axis=1)
+
+
 def get_coord(probs, num_classes):
     """Convex-combination coordinate of a probability vector over the
-    class anchor circle — reference render.py:158-170 verbatim math:
-    anchor c sits at (sin, cos) of 2*pi*c/k, the point is the
+    class anchor circle — reference render.py:158-170 verbatim math: the
     probs-weighted (sum-normalised) average of the anchors."""
     probs = np.asarray(probs, np.float64)
-    ang = 2.0 * np.pi * (np.arange(num_classes) / float(num_classes))
-    anchors = np.stack([np.sin(ang), np.cos(ang)], axis=1)  # (k, 2)
-    return (probs / probs.sum()) @ anchors
+    return (probs / probs.sum()) @ _anchor_points(num_classes)
 
 
 def save_progress(config, apply_fn, mapping_assignment_dataloader,
@@ -154,8 +158,7 @@ def save_progress(config, apply_fn, mapping_assignment_dataloader,
 
     # points: [-1, 1] -> [border, 2*scale + border], 2x2, coloured by the
     # GROUND-TRUTH class (render.py:80-92)
-    ang = 2.0 * np.pi * (np.arange(k) / float(k))
-    anchors = np.stack([np.sin(ang), np.cos(ang)], axis=1)
+    anchors = _anchor_points(k)
     points = (reordered / reordered.sum(axis=1, keepdims=True)) @ anchors
     coords = (points * scale + scale).astype(np.int32) + border
     for (cy, cx), tgt in zip(coords, targets):

@@ -256,6 +256,10 @@ class SemisupConfig:
     cutout_p: float = 0.5
     cutout_max_box: float = 0.5
     contiguous_sz: int = 10  # TenCrop block size
+    # fraction of the supervised train split to keep (TPU-native
+    # extension mirroring the reference's TruncatedDataset fewer-labels
+    # analysis, code/datasets/clustering/truncated_dataset.py:5-20)
+    train_label_pc: float = 1.0
     lr_schedule: Tuple[int, ...] = ()
     lr_mult: float = 0.5
     test_code: bool = False

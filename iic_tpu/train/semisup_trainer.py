@@ -24,7 +24,8 @@ import optax
 from iic_tpu import models
 from iic_tpu.data import readers
 from iic_tpu.data.semisup import SemisupTrainLoader, make_tencrop_batch_fn
-from iic_tpu.data.transforms import make_sobel_pair_transforms
+from iic_tpu.data.transforms import (
+    make_greyscale_pair_transforms, make_sobel_pair_transforms)
 from iic_tpu.models.semisup import SupHead5Head
 from iic_tpu.ops.sobel import sobel_process
 from iic_tpu.parallel.train_step import TrainState
@@ -126,7 +127,15 @@ def train_semisup(config):
     sup_cfg.cutout_max_box = config.cutout_max_box
     sup_cfg.use_random_affine = config.random_affine
     sup_cfg.affine_p = config.affine_p
-    tf1, tf2, tf3 = make_sobel_pair_transforms(sup_cfg)
+    # the reference workload is STL10 (sobel); greyscale old models
+    # (MNIST/Digits overclustering) finetune through the greyscale tf2
+    # with no sobel stage — a capability extension beyond the reference
+    from iic_tpu.data.pipeline import _is_greyscale
+    grey = _is_greyscale(old_config)
+    if grey:
+        tf1, tf2, tf3 = make_greyscale_pair_transforms(sup_cfg)
+    else:
+        tf1, tf2, tf3 = make_sobel_pair_transforms(sup_cfg)
 
     if old_config.dataset == "STL10":
         train_part, test_part = "train", "test"
@@ -137,11 +146,20 @@ def train_semisup(config):
     test_d = readers.load_dataset(old_config.dataset,
                                   old_config.dataset_root, test_part)
 
+    train_imgs, train_labels = train_d["images"], train_d["labels"]
+    pc = getattr(config, "train_label_pc", 1.0)
+    if pc < 1.0:  # fewer-labels semisup: keep a random fixed fraction
+        rng = np.random.default_rng(config.seed)
+        keep = rng.permutation(len(train_imgs))[:int(len(train_imgs) * pc)]
+        train_imgs, train_labels = train_imgs[keep], train_labels[keep]
+        _log(f"train_label_pc {pc}: {len(train_imgs)} labelled samples")
+
     train_loader = SemisupTrainLoader(
-        config, train_d["images"], train_d["labels"], config.new_batch_sz,
-        seed=config.seed)
+        config, train_imgs, train_labels,
+        min(config.new_batch_sz, len(train_imgs)), seed=config.seed)
     tencrop_fn = make_tencrop_batch_fn(old_config.input_sz,
-                                       old_config.include_rgb)
+                                       old_config.include_rgb,
+                                       grey_append=not grey)
 
     # model: trunk (pretrained) + SupHead5 head
     dummy = jnp.zeros((2, old_config.in_channels, old_config.input_sz,
@@ -217,7 +235,8 @@ def train_semisup(config):
     @jax.jit
     def train_step(state, imgs_u8, labels, key):
         imgs = augment_train(imgs_u8, key)
-        imgs = sobel_process(imgs, include_rgb)
+        if not grey:
+            imgs = sobel_process(imgs, include_rgb)
 
         def loss_fn(params):
             logits, bs = forward(params, state.batch_stats, imgs, True)
@@ -235,7 +254,8 @@ def train_semisup(config):
 
     @jax.jit
     def eval_apply(params, batch_stats, imgs):
-        imgs = sobel_process(imgs, include_rgb)
+        if not grey:
+            imgs = sobel_process(imgs, include_rgb)
         logits, _ = forward(params, batch_stats, imgs, False)
         return logits
 

@@ -68,3 +68,38 @@ def test_semisup_end_to_end(tmp_path):
     # CE loss must collapse and acc clearly beat 10% chance
     assert history["epoch_loss"][-1] < 1.0
     assert max(history["epoch_acc"]) > 0.25
+
+
+def test_semisup_greyscale_fewer_labels(tmp_path):
+    """Greyscale old model (MNIST-family) + --train_label_pc: the semisup
+    finetune runs through the greyscale tf2 path with no sobel stage and
+    truncates the supervised split to the requested fraction."""
+    from iic_tpu.train.config import ClusterConfig, SemisupConfig
+    from iic_tpu.train import train_cluster_single
+    from iic_tpu.train.semisup_trainer import train_semisup
+
+    old_cfg = ClusterConfig(
+        model_ind=13, arch="ClusterNet6c", mode="IID+",
+        dataset="Synthetic10x32x1x128", dataset_root="",
+        gt_k=10, output_k=20, lr=1e-3, num_epochs=2, batch_sz=32,
+        num_dataloaders=2, num_sub_heads=1, out_root=str(tmp_path),
+        crop_orig=True, tf1_crop="centre", tf1_crop_sz=28,
+        tf2_crop="random", tf2_crop_szs=(28,), input_sz=24,
+        rot_val=25.0, no_flip=True,
+        batchnorm_track=True, test_code=True, save_freq=1)
+    old_cfg.finalize(twohead=False, sobel=False)
+    train_cluster_single(old_cfg)
+
+    cfg = SemisupConfig(
+        model_ind=14, old_model_ind=13, head_lr=1e-2, trunk_lr=1e-3,
+        num_epochs=6, new_batch_sz=16, out_root=str(tmp_path),
+        train_label_pc=0.5, test_code=False, contiguous_sz=10)
+    cfg.finalize()
+    state, history = train_semisup(cfg)
+    assert np.isfinite(history["epoch_loss"][-1])
+    # 64 random synthetic samples can't generalise in 6 epochs (the real
+    # end-to-end evidence is the Digits run in VALIDATION.md); assert the
+    # mechanics: the CE loss collapses onto the truncated labelled set
+    # through the greyscale tf2 path, and eval produces finite accs
+    assert min(history["epoch_loss"]) < 1.0
+    assert np.isfinite(history["epoch_acc"]).all()

@@ -393,6 +393,7 @@ def test_cluster_resident_pipeline_matches_streaming():
         np.testing.assert_array_equal(np.asarray(ir2), np.asarray(is2))
 
 
+@pytest.mark.slow  # end-to-end trainer (compile-heavy)
 def test_cluster_resident_trainer_smoke(tmp_path):
     from iic_tpu.train.config import ClusterConfig
     from iic_tpu.train.cluster_trainer import train_cluster_twohead

@@ -2,6 +2,7 @@
 rounded, ragged final batches dropped, and the sharded trainer runs."""
 
 import numpy as np
+import pytest
 
 
 def test_adjust_batch_for_mesh():
@@ -26,6 +27,7 @@ def test_adjust_batch_for_mesh():
     assert cfg3.batch_sz == 660
 
 
+@pytest.mark.slow  # end-to-end trainer (compile-heavy)
 def test_trainer_with_indivisible_batch_on_mesh(tmp_path):
     from iic_tpu.train import ClusterConfig, train_cluster_twohead
 

@@ -57,7 +57,7 @@ class ClusterTrainPipeline:
 
     def __init__(self, config, partitions, seed=0, drop_last=False,
                  deterministic_shuffle=False, process_shard=None,
-                 preloaded=None, resident=False):
+                 preloaded=None, resident=False, resident_share=None):
         self.config = config
         # Multi-host: every process computes the same global batch order but
         # loads/uploads only its contiguous sub-block; the trainer assembles
@@ -111,18 +111,47 @@ class ClusterTrainPipeline:
         # resident mode (--resident_data): the raw uint8 set lives in HBM;
         # epoch yields index batches and augment_pair gathers on device —
         # zero per-step host->device traffic (MNIST 45 MB, CIFAR 180 MB,
-        # STL10 train+unlabeled 2.9 GB all fit a 16 GB chip).
+        # STL10 train+unlabeled 2.9 GB all fit a 16 GB chip). Staging is
+        # LAZY (first augment trace) so tools that build pipelines only
+        # for mapping loaders or partition tables pay nothing, and
+        # ``resident_share`` lets a sibling pipeline over the same images
+        # reuse one staged copy (the twohead factory passes it).
         self.resident = resident
+        self._res_imgs = None
+        self._res_share = resident_share
         if resident:
-            res_imgs = jax.device_put(np.ascontiguousarray(self.images))
+            pc = (process_shard or
+                  (jax.process_index(), jax.process_count()))[1]
+            assert pc == 1, "resident mode is single-process"
             base_augment_pair = augment_pair
 
             def augment_pair(idxs, key):  # noqa: F811 — resident variant
+                # staging must happen eagerly (epoch()/stage()), never
+                # inside this trace — a device_put under trace would leak
+                # a tracer into the cache
+                assert self._res_imgs is not None, (
+                    "resident pipeline not staged: iterate epoch() or "
+                    "call stage() before tracing augment_pair")
                 return base_augment_pair(
-                    jnp.take(res_imgs, idxs, axis=0), key)
+                    jnp.take(self._res_imgs, idxs, axis=0), key)
 
         self.augment_pair = augment_pair
         self._augment_jit = jax.jit(augment_pair)
+
+    def stage(self):
+        """Eagerly upload the uint8 image set to HBM (resident mode; no-op
+        otherwise). Shared with ``resident_share`` siblings over the same
+        host array. Called automatically by ``epoch`` /
+        ``epoch_scan_inputs``; call directly when using ``augment_pair``
+        without iterating."""
+        if self.resident and self._res_imgs is None:
+            share = self._res_share
+            if share is not None and share.images is self.images:
+                self._res_imgs = share.stage()
+            else:
+                self._res_imgs = jax.device_put(
+                    np.ascontiguousarray(self.images))
+        return self._res_imgs
 
     def _epoch_order_root(self, epoch_idx):
         """(visiting order | None for sequential, root PRNG key) for one
@@ -144,6 +173,7 @@ class ClusterTrainPipeline:
         the consumer's step (SURVEY.md §7 hard part #6)."""
         bsz = self.dataloader_batch_sz
         n = len(self.images)
+        self.stage()
         order, root = self._epoch_order_root(epoch_idx)
         pi, pc = self.process_shard or (
             jax.process_index(), jax.process_count())
@@ -193,6 +223,7 @@ class ClusterTrainPipeline:
         loss sequence matches the per-step path exactly. A ragged final
         batch is dropped (use the per-step path for exact sample counts)."""
         assert self.resident, "epoch_scan_inputs needs resident mode"
+        self.stage()
         bsz = self.dataloader_batch_sz
         n = len(self.images)
         nb = max(n // bsz, 1)
@@ -286,12 +317,23 @@ def cluster_twohead_create_dataloaders(config, seed=0, drop_last=False):
     config.mapping_assignment_partitions = map_a
     config.mapping_test_partitions = map_t
     resident = getattr(config, "resident_data", False)
-    return (ClusterTrainPipeline(config, train_a, seed=seed,
-                                 drop_last=drop_last, resident=resident),
-            ClusterTrainPipeline(config, train_b, seed=seed + 1,
-                                 drop_last=drop_last, resident=resident),
-            MappingLoader(config, map_a),
-            MappingLoader(config, map_t))
+    pipe_a = ClusterTrainPipeline(config, train_a, seed=seed,
+                                  drop_last=drop_last, resident=resident)
+    # heads share decoded arrays (and the one staged HBM copy in resident
+    # mode) whenever their partitions coincide — always, except STL10
+    # head A's train+unlabeled mix
+    share = train_a == train_b
+    pipe_b = ClusterTrainPipeline(
+        config, train_b, seed=seed + 1, drop_last=drop_last,
+        resident=resident,
+        preloaded=(pipe_a.images, pipe_a.labels) if share else None,
+        resident_share=pipe_a if share else None)
+    map_assign = MappingLoader(config, map_a)
+    map_test = MappingLoader(
+        config, map_t,
+        preloaded=((map_assign.images, map_assign.labels)
+                   if map_a == map_t else None))
+    return pipe_a, pipe_b, map_assign, map_test
 
 
 def create_basic_clustering_dataloaders(config, seed=0):

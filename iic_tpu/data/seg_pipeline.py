@@ -113,8 +113,11 @@ class SegTrainPipeline:
     (``pre_scale_all`` is applied once at staging), single process. The
     crop-start distribution is identical to the host path's
     ``pad_and_or_crop(mode="random")`` (uniform over [0, H - sz]); only the
-    RNG stream differs. Datasets at reference scale fit easily (Potsdam
-    200^2 tiles ~ 500 MB; a 16 GB HBM chip holds COCO-sized crops)."""
+    RNG stream differs. Uniform raw shapes restrict it to fixed-tile
+    datasets (Potsdam 200^2 tiles ~ 500 MB, synthetic sets); real COCO's
+    variable image sizes need the streaming host path. Staging is LAZY
+    (first epoch/augment use), so tools that build the pipeline only for
+    its partition tables pay nothing."""
 
     def __init__(self, config, partitions, seed=0, use_native=None,
                  drop_last=False, process_shard=None, resident=False):
@@ -135,8 +138,24 @@ class SegTrainPipeline:
         self.shuffle = config.num_dataloaders == 1
         self.augment = make_seg_augment(config)
         self.resident = resident
+        self._staged = False
+        self._resident_augment = None
         if resident:
-            self._stage_resident()
+            pc = (process_shard or
+                  (jax.process_index(), jax.process_count()))[1]
+            assert pc == 1, "resident mode is single-process"
+            self._base_augment = self.augment
+
+            def resident_augment_dispatch(idxs, idxs2, key):
+                # staging must happen eagerly (epoch()/stage()), never
+                # inside this trace — a device_put under trace would leak
+                # a tracer into the cache
+                assert self._staged, (
+                    "resident pipeline not staged: iterate epoch() or "
+                    "call stage() before tracing augment")
+                return self._resident_augment(idxs, idxs2, key)
+
+            self.augment = resident_augment_dispatch
         self._augment_jit = jax.jit(self.augment)
 
         self._native = None
@@ -153,11 +172,21 @@ class SegTrainPipeline:
             if use_native and self._native is None:
                 raise RuntimeError("native seg_prep unavailable")
 
+    def stage(self):
+        """Eagerly decode + upload the dataset (resident mode; no-op
+        otherwise). Called automatically by ``epoch`` /
+        ``epoch_scan_inputs``; call directly when using ``augment``
+        without iterating."""
+        if self.resident and not self._staged:
+            self._stage_resident()
+            self._staged = True
+
     def _stage_resident(self):
-        """Upload the whole dataset to HBM once and rebuild ``self.augment``
-        to gather + random-crop on device before the standard augmentation.
-        Masks are the pointwise label filter of the zero-padded label map —
-        identical to the host path, which filters after padding/cropping."""
+        """Upload the whole dataset to HBM once and install the resident
+        augment (gather + random-crop on device before the standard
+        augmentation). Masks are the pointwise label filter of the
+        zero-padded label map — identical to the host path, which filters
+        after padding/cropping."""
         cfg = self.config
         assert not getattr(cfg, "use_random_scale", False), (
             "resident mode does per-draw geometry on device with static "
@@ -189,7 +218,7 @@ class SegTrainPipeline:
         res_imgs = jax.device_put(np.stack(imgs))
         res_masks = jax.device_put(np.stack(masks))
         h, w = res_imgs.shape[1:3]
-        base_augment = self.augment
+        base_augment = self._base_augment
 
         def resident_augment(idxs, _idxs_unused, key):
             k_crop, k_aug = jax.random.split(key)
@@ -208,7 +237,7 @@ class SegTrainPipeline:
             b_imgs, b_masks = jax.vmap(crop)(b_imgs, b_masks, starts)
             return base_augment(b_imgs, b_masks, k_aug)
 
-        self.augment = resident_augment
+        self._resident_augment = resident_augment
 
     def _locate(self, global_idx):
         for d, n in zip(self.datasets, self.lengths):
@@ -320,6 +349,7 @@ class SegTrainPipeline:
         return order, root, order_rng
 
     def epoch(self, epoch_idx, augmented=False):
+        self.stage()
         pi, pc = self.process_shard or (
             jax.process_index(), jax.process_count())
         # the visiting order is GLOBAL (identical on every process); the
@@ -383,6 +413,7 @@ class SegTrainPipeline:
         ``epoch()`` so per-step losses are identical; a ragged final batch
         is dropped."""
         assert self.resident, "epoch_scan_inputs needs resident mode"
+        self.stage()
         bsz = self.batch_sz
         nb = max(self.total // bsz, 1)
         assert self.total >= bsz, (self.total, bsz)

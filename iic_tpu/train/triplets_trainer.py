@@ -93,7 +93,9 @@ def train_triplets(config):
     config.train_partitions_head_A = train_parts
     config.mapping_test_partitions = map_test_parts
 
-    pipe = ClusterTrainPipeline(config, train_parts, seed=config.seed)
+    resident = getattr(config, "resident_data", False)
+    pipe = ClusterTrainPipeline(config, train_parts, seed=config.seed,
+                                resident=resident)
     test_loader = MappingLoader(config, map_test_parts)
 
     net = models.build(config.arch, config)
@@ -181,7 +183,10 @@ def train_triplets(config):
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
             neg_idx = neg_order[b_i * bsz:b_i * bsz + base.shape[0]]
-            neg = jnp.asarray(pipe.images[neg_idx])
+            # resident mode: batches are index arrays; the negative is a
+            # shuffled index batch gathered on device by augment_pair
+            neg = (jnp.asarray(neg_idx.astype(np.int32)) if resident
+                   else jnp.asarray(pipe.images[neg_idx]))
             state, loss = train_step(state, base, neg, key)
             loss = float(loss)
             if not np.isfinite(loss):

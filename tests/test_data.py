@@ -409,3 +409,46 @@ def test_cluster_resident_trainer_smoke(tmp_path):
     cfg.finalize(twohead=True, sobel=False)
     state, history = train_cluster_twohead(cfg)
     assert np.isfinite(history["epoch_loss_head_B"][0])
+
+
+def test_resident_lazy_staging_and_twohead_sharing():
+    """Resident staging is lazy (nothing uploaded at construction) and the
+    twohead factory shares ONE staged HBM copy between the heads."""
+    from iic_tpu.data.pipeline import cluster_twohead_create_dataloaders
+
+    cfg = SimpleNamespace(
+        dataset="Synthetic10x28x1x96", dataset_root="", mode="IID",
+        batch_sz=32, num_dataloaders=2, input_sz=24, gt_k=10,
+        output_k_A=20, output_k_B=10, num_sub_heads=1, crop_orig=True,
+        crop_other=True, tf1_crop="centre_half", tf1_crop_sz=20,
+        tf2_crop="random", tf2_crop_szs=[16, 20, 24], rot_val=25,
+        no_flip=True, include_rgb=False, mix_train=False,
+        batchnorm_track=True, resident_data=True, eval_batch_sz=None)
+    pipe_a, pipe_b, _, _ = cluster_twohead_create_dataloaders(cfg)
+    assert pipe_a.resident and pipe_b.resident
+    assert pipe_a._res_imgs is None and pipe_b._res_imgs is None  # lazy
+    assert pipe_b.images is pipe_a.images  # host arrays shared
+    # first use stages; the heads share the single device copy
+    assert pipe_b.stage() is pipe_a.stage()
+
+
+def test_resident_deterministic_shuffle_order():
+    """Resident + deterministic_shuffle: epoch() yields permuted index
+    batches that exactly tile epoch_scan_inputs' matrix rows."""
+    cfg = SimpleNamespace(
+        dataset="Synthetic10x28x1x96", dataset_root="", mode="IID",
+        batch_sz=32, num_dataloaders=2, input_sz=24, gt_k=10,
+        output_k_A=20, output_k_B=10, num_sub_heads=1, crop_orig=True,
+        crop_other=True, tf1_crop="centre_half", tf1_crop_sz=20,
+        tf2_crop="random", tf2_crop_szs=[16, 20, 24], rot_val=25,
+        no_flip=True, include_rgb=False, mix_train=False,
+        batchnorm_track=True)
+    pipe = ClusterTrainPipeline(cfg, [True], resident=True,
+                                deterministic_shuffle=True)
+    idx_batches = [np.asarray(b) for b, _ in pipe.epoch(3, augmented=False)]
+    flat = np.concatenate(idx_batches)
+    assert sorted(flat.tolist()) == list(range(96))  # a permutation
+    assert not np.array_equal(flat, np.arange(96))   # actually shuffled
+    mat, _ = pipe.epoch_scan_inputs(3)
+    np.testing.assert_array_equal(np.asarray(mat).ravel(),
+                                  flat[:mat.size])

@@ -47,6 +47,10 @@ def load_run(out_root, model_ind, name="best"):
     with open(os.path.join(run_dir, "config.pickle"), "rb") as f:
         meta = pickle.load(f)
     config = config_from_dict(meta["config"])
+    # load the checkpoint from where the CALLER found the run, not from
+    # the out_root pickled at train time — a moved/copied run dir would
+    # otherwise load stale weights from the old location (or crash)
+    config.out_root = out_root
 
     if "Segmentation" in config.arch:
         from iic_tpu.train.seg_trainer import build_seg_net_and_state
@@ -60,9 +64,21 @@ def load_run(out_root, model_ind, name="best"):
     if name == "best" and not os.path.exists(
             os.path.join(run_dir, best_file)):
         name = "latest"
-    state, history, _ = ckpt.load_checkpoint(config, template, name=name)
+    state, history, last_epoch = ckpt.load_checkpoint(config, template,
+                                                      name=name)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    return config, net, variables, _best_epoch_stats(history)
+    # the sub-head/Hungarian match must come from the SAME epoch as the
+    # weights: cluster identities drift between epochs, so pairing latest
+    # weights with the best epoch's match would permute ids wrongly
+    ev = history["eval"]
+    if not list(ev.epoch_acc):
+        raise ValueError("run has no eval history")
+    if name == "latest":
+        idx = min(int(last_epoch), len(ev.epoch_stats) - 1)
+        stats = ev.epoch_stats[idx]
+    else:
+        stats = _best_epoch_stats(history)
+    return config, net, variables, stats
 
 
 def _clean_variables(variables):

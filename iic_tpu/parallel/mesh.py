@@ -83,3 +83,33 @@ def make_replicator(mesh):
             tree)
 
     return replicate
+
+
+def make_sharded_eval(apply_raw, variables, mesh):
+    """Shared eval-forward sharding for the trainers: place each eval
+    batch sharded over the mesh's data axis under plain jit (XLA inserts
+    the collectives, so batch-stat BN still sees GLOBAL batch statistics
+    — identical numerics to the unsharded forward). Ragged final eval
+    batches pad to the mesh multiple, then slice.
+
+    Single-process only: device_put to a sharding spanning another
+    process's devices is not possible; multi-host callers keep the
+    local unsharded forward."""
+    assert jax.process_count() == 1, "sharded eval is single-process"
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax.numpy as jnp
+
+    sharding = NamedSharding(mesh, P("data"))
+    n_dev = mesh.size
+
+    def apply_sharded(imgs):
+        b = imgs.shape[0]
+        pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
+        if pad:
+            imgs = jnp.concatenate(
+                [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
+        out = apply_raw(variables, jax.device_put(imgs, sharding))
+        return out[:, :b] if pad else out
+
+    return apply_sharded

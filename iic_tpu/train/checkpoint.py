@@ -100,6 +100,11 @@ def save_checkpoint_orbax(config, state, history, name="latest",
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
         "step": int(state.step),
+        # committed ATOMICALLY with the weights: restart trusts this over
+        # config.pickle's last_epoch, which is written while the async
+        # save may still be in flight (a crash in that window would
+        # otherwise pair epoch-N metadata with older weights)
+        "last_epoch": int(last_epoch),
     }
     ckptr.save(path, args=_orbax_save_args(pure), force=True)
     _write_meta(config, history, last_epoch, name)
@@ -124,14 +129,24 @@ def load_checkpoint_orbax(config, state_template, name="latest"):
         "batch_stats": jax.device_get(state_template.batch_stats),
         "opt_state": jax.device_get(state_template.opt_state),
         "step": 0,
+        "last_epoch": 0,
     }
-    pure = ckptr.restore(path, target)
+    try:
+        pure = ckptr.restore(path, target)
+    except Exception:
+        # checkpoints from before last_epoch was stored in the tree
+        target.pop("last_epoch")
+        pure = ckptr.restore(path, target)
     state = TS(params=pure["params"], batch_stats=pure["batch_stats"],
                opt_state=pure["opt_state"],
                step=np.asarray(pure["step"], np.int32))
     with open(os.path.join(d, "config.pickle"), "rb") as f:
         meta = pickle.load(f)
-    return state, meta["history"], meta["last_epoch"]
+    # the checkpoint's own last_epoch is authoritative (committed with the
+    # weights); meta may be one save ahead if a crash hit an in-flight
+    # async write — the trainer's history truncation then trims the extra
+    last_epoch = int(pure.get("last_epoch", meta["last_epoch"]))
+    return state, meta["history"], last_epoch
 
 
 def load_checkpoint(config, state_template, name="latest"):

@@ -185,32 +185,19 @@ def build_net_and_state(config):
 
 def make_eval_apply(net, state, config, head="B", train_mode=False,
                     mesh=None):
-    """Eval forward closure. With a mesh (and running-stats BN) the
-    batch is placed sharded over the data axis so the eval forward scales
-    with the mesh (ragged batches pad to the mesh multiple). train_mode
-    ("double eval", per-batch BN stats) must see the WHOLE batch's
-    statistics, so it stays unsharded."""
+    """Eval forward closure. With a single-process mesh the batch is
+    placed sharded over the data axis so the eval forward scales with the
+    mesh (ragged batches pad to the mesh multiple). Under plain jit the
+    BN reductions stay GLOBAL, so batch-stat BN (batchnorm_track=False
+    and the train_mode "double eval") computes identical statistics to
+    the unsharded forward."""
     apply_raw = make_apply_fn(net, head=head, sobel=config.sobel,
                               include_rgb=config.include_rgb,
                               train_mode=train_mode)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if (mesh is not None and not train_mode
-            and getattr(config, "batchnorm_track", False)):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P("data"))
-        n_dev = mesh.size
-
-        def apply_sharded(imgs):
-            b = imgs.shape[0]
-            pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
-            if pad:
-                imgs = jnp.concatenate(
-                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
-            out = apply_raw(variables, jax.device_put(imgs, sharding))
-            return out[:, :b] if pad else out
-
-        return apply_sharded
+    if mesh is not None and jax.process_count() == 1:
+        from iic_tpu.parallel.mesh import make_sharded_eval
+        return make_sharded_eval(apply_raw, variables, mesh)
     return lambda imgs: apply_raw(variables, imgs)
 
 
@@ -328,9 +315,13 @@ def train_cluster_twohead(config):
             for _ in range(repeats):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
+                    # size of the GLOBAL batch (multi-host pipelines yield
+                    # per-process shards) — the ragged check compares it
+                    # to the global dataloader_batch_sz
+                    gbase = to_global(base)
                     state, loss, loss_nl = ragged[head](
-                        steps[head], state, to_global(base),
-                        replicate(key), int(base.shape[0]))
+                        steps[head], state, gbase,
+                        replicate(key), int(gbase.shape[0]))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -458,9 +449,10 @@ def train_cluster_single(config):
         avg_loss = avg_loss_nl = 0.0
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
+            gbase = to_global(base)  # global batch size, not the shard's
             state, loss, loss_nl = ragged(
-                step, state, to_global(base), replicate(key),
-                int(base.shape[0]))
+                step, state, gbase, replicate(key),
+                int(gbase.shape[0]))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -497,6 +489,11 @@ def train_cluster_single(config):
 
 def _select_sub_head_on_loss(config, net, state, pipe_b, lamb):
     """Reference get_subhead_using_loss over head-B dataloaders."""
+    # iterates augmented batches, which multi-host pipelines cannot yield
+    # (they produce host-local shards) — single-process only for now
+    assert jax.process_count() == 1, (
+        "select_sub_head_on_loss is single-process; run it offline via "
+        "cli/analysis/print_sub_heads_eval on the saved run")
     apply_raw = make_apply_fn(net, head="B", sobel=config.sobel,
                               include_rgb=config.include_rgb)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -47,29 +47,18 @@ def build_seg_net_and_state(config):
 
 
 def make_seg_eval_apply(net, state, config, head="B", mesh=None):
-    """Eval forward; with a mesh and running-stats BN the batch is
-    placed sharded over the data axis (ragged batches padded), so
-    per-pixel eval scales with the mesh."""
+    """Eval forward; with a single-process mesh the batch is placed
+    sharded over the data axis (ragged batches padded), so per-pixel eval
+    scales with the mesh. Plain jit keeps BN reductions global, so
+    batch-stat BN (batchnorm_track=False, the seg default) matches the
+    unsharded forward exactly."""
     apply_raw = make_seg_apply_fn(net, head=head, sobel=config.sobel,
                                   include_rgb=config.include_rgb,
                                   using_IR=config.using_IR)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if mesh is not None and getattr(config, "batchnorm_track", False):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P("data"))
-        n_dev = mesh.size
-
-        def apply_sharded(imgs):
-            b = imgs.shape[0]
-            pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
-            if pad:
-                imgs = jnp.concatenate(
-                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
-            out = apply_raw(variables, jax.device_put(imgs, sharding))
-            return out[:, :b] if pad else out
-
-        return apply_sharded
+    if mesh is not None and jax.process_count() == 1:
+        from iic_tpu.parallel.mesh import make_sharded_eval
+        return make_sharded_eval(apply_raw, variables, mesh)
     return lambda imgs: apply_raw(variables, imgs)
 
 
@@ -172,9 +161,11 @@ def train_segmentation_twohead(config):
             for _ in range(repeats):
                 for b_i, (imgs, masks, key) in enumerate(
                         pipe.epoch(e_i, augmented=False)):
+                    # global batch size, not the per-process shard's
+                    gimgs, gmasks = to_global((imgs, masks))
                     state, loss, loss_nl = ragged[head](
-                        steps[head], state, to_global((imgs, masks)),
-                        replicate(key), int(imgs.shape[0]))
+                        steps[head], state, (gimgs, gmasks),
+                        replicate(key), int(gimgs.shape[0]))
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -286,9 +277,10 @@ def train_segmentation_single(config):
         count = 0
         for b_i, (imgs, masks, key) in enumerate(
                 pipe.epoch(e_i, augmented=False)):
+            gimgs, gmasks = to_global((imgs, masks))  # global batch size
             state, loss, loss_nl = ragged(
-                step, state, to_global((imgs, masks)), replicate(key),
-                int(imgs.shape[0]))
+                step, state, (gimgs, gmasks), replicate(key),
+                int(gimgs.shape[0]))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")

@@ -184,11 +184,12 @@ def get_subhead_using_loss(config, apply_fn_pairs, lamb=1.0):
     head-B batches (reference ``get_subhead_using_loss``,
     cluster_eval.py:236-317). ``apply_fn_pairs`` yields
     ((H, bn, k), (H, bn, k)) softmax output pairs per batch."""
-    from iic_tpu.ops.iid_loss import IID_loss
+    from iic_tpu.ops.iid_loss import iid_loss_multihead
 
     loss_per_sub_head = np.zeros(config.num_sub_heads)
     for x_outs, x_tf_outs in apply_fn_pairs:
-        for i in range(config.num_sub_heads):
-            loss, _ = IID_loss(x_outs[i], x_tf_outs[i], lamb=lamb)
-            loss_per_sub_head[i] += float(loss)
+        # one jitted vmapped call per batch (not num_sub_heads eager
+        # dispatches + host syncs)
+        _, _, losses = iid_loss_multihead(x_outs, x_tf_outs, lamb=lamb)
+        loss_per_sub_head += np.asarray(losses)
     return int(np.argmin(loss_per_sub_head))

@@ -27,7 +27,6 @@ def train_kmeans_on_features(features_fn, dataloader, gt_k,
 
     rng = np.random.default_rng(seed)
     chunks = []
-    collected = 0
     n_batches = max(len(dataloader), 1)
     per_batch = max(max_num_samples // n_batches, 1)
     for imgs, _, mask in dataloader:
@@ -39,8 +38,12 @@ def train_kmeans_on_features(features_fn, dataloader, gt_k,
         take = min(per_batch, len(flat))
         idx = rng.choice(len(flat), take, replace=False)
         chunks.append(flat[idx])
-        collected += take
     samples = np.concatenate(chunks)[:max_num_samples]
+    if len(samples) < max_num_samples:
+        # no silent caps: sparse masks undersample the fixed per-batch
+        # quota; say so instead of quietly fitting on fewer samples
+        print(f"kmeans eval: sampled {len(samples)} of the requested "
+              f"{max_num_samples} pixel features (sparse masks)")
     kmeans = MiniBatchKMeans(n_clusters=gt_k, random_state=seed,
                              n_init="auto")
     kmeans.fit(samples)

@@ -2,31 +2,27 @@
 
 Reference: code/utils/cluster/eval_metrics.py. The reference builds the
 k x k vote matrix with a Python double loop of elementwise GPU comparisons
-(:40-44); here it is one ``one_hot(preds).T @ one_hot(targets)`` matmul on
-device, then the tiny assignment problem is solved on host with scipy
-(sklearn's removed ``linear_assignment`` was exactly scipy's
-``linear_sum_assignment``).
+(:40-44); here it is one exact host-side int64 bincount over fused class
+pairs (O(N) with no (N, k) one-hot materialisation — at segmentation
+scale the eval flattens 1e8+ masked pixels, where a device one-hot would
+OOM and f32 accumulation would saturate at 2^24 votes per cell). The tiny
+assignment problem is then solved on host with scipy (sklearn's removed
+``linear_assignment`` was exactly scipy's ``linear_sum_assignment``).
 """
 
-from functools import partial
-
 import numpy as np
-import jax
-import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
 
-@partial(jax.jit, static_argnames=("preds_k", "targets_k"))
 def vote_matrix(flat_preds, flat_targets, preds_k, targets_k):
     """votes[c1, c2] = #samples with pred == c1 and target == c2.
 
-    One matmul on the MXU instead of the reference's k^2 elementwise passes
-    (code/utils/cluster/eval_metrics.py:40-44).
-    """
-    p = jax.nn.one_hot(flat_preds, preds_k, dtype=jnp.float32)
-    t = jax.nn.one_hot(flat_targets, targets_k, dtype=jnp.float32)
-    return jnp.dot(p.T, t, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    Exact integer counts (reference eval_metrics.py:40-44 semantics)."""
+    p = np.asarray(flat_preds).astype(np.int64).ravel()
+    t = np.asarray(flat_targets).astype(np.int64).ravel()
+    counts = np.bincount(p * targets_k + t,
+                         minlength=preds_k * targets_k)
+    return counts.reshape(preds_k, targets_k).astype(np.float64)
 
 
 def hungarian_match(flat_preds, flat_targets, preds_k, targets_k):
@@ -61,10 +57,14 @@ def reorder_preds(flat_preds, match, dtype=np.int32):
 
 
 def accuracy(preds, targets, num_k=None):
-    """Mean 0/1 accuracy (reference ``_acc``, eval_metrics.py:57-70)."""
+    """Mean 0/1 accuracy (reference ``_acc``, eval_metrics.py:57-70).
+    An empty prediction set (e.g. an all-irrelevant eval subset) counts
+    as 0 rather than crashing or propagating NaN into epoch_acc."""
     preds = np.asarray(preds)
     targets = np.asarray(targets)
     assert preds.shape == targets.shape
+    if preds.shape[0] == 0:
+        return 0.0
     if num_k is not None:
         assert preds.max() < num_k and targets.max() < num_k
     return float((preds == targets).sum() / preds.shape[0])

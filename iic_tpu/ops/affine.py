@@ -142,17 +142,7 @@ def affine_warp_matmul(data, theta):
     batched interpolation matmuls. See ``perform_affine_tf``.
     """
     n, ch, H, W = data.shape
-    t = theta.astype(jnp.float32)
-
-    # Normalised -> pixel-space affine: row Y(i,j), col X(i,j) of the
-    # SOURCE sample for output pixel (i, j):
-    #   X = a*j + b*i + tx ;  Y = c*j + d*i + ty
-    a = t[:, 0, 0]
-    b = t[:, 0, 1] * (W - 1) / (H - 1)
-    tx = (W - 1) / 2.0 * (1.0 - t[:, 0, 0] - t[:, 0, 1] + t[:, 0, 2])
-    c = t[:, 1, 0] * (H - 1) / (W - 1)
-    d = t[:, 1, 1]
-    ty = (H - 1) / 2.0 * (1.0 - t[:, 1, 0] - t[:, 1, 1] + t[:, 1, 2])
+    a, b, tx, c, d, ty = _pixel_space_affine(theta, H, W)
 
     # Two-pass factorisation (solve h s.t. pass2 o pass1 == warp):
     #   pass1 (rows):    tmp[i, q] = in(h(i, q), q),

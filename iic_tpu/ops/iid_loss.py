@@ -25,6 +25,7 @@ import jax.numpy as jnp
 # Matches reference EPS = sys.float_info.epsilon
 # (code/utils/cluster/IID_losses.py:6).
 EPS = sys.float_info.epsilon
+_EPS_DEFAULT = EPS  # the fused pallas kernel hard-codes this value
 
 
 def compute_joint(x_out, x_tf_out, axis_name=None):
@@ -100,6 +101,9 @@ def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None,
         assert axis_name is None, (
             "the fused kernel computes a per-shard joint; use impl='xla' "
             "with axis_name for the global-joint mode")
+        assert EPS == _EPS_DEFAULT, (
+            "the fused kernel hard-codes machine epsilon; pass impl='xla' "
+            "for a custom EPS")
         from iic_tpu.ops.pallas import iid_loss_fused
         return iid_loss_fused(x_out, x_tf_out, lamb)
     p_i_j = compute_joint(x_out, x_tf_out, axis_name=axis_name)

@@ -109,7 +109,6 @@ def _next_fast_len(n):
     best = 1
     while best < n:
         best *= 2
-    m = best
     candidate = best
     for b in range(0, 20):
         v3 = 3 ** b
@@ -287,7 +286,6 @@ def IID_segmentation_loss_uncollapsed(x1_outs, x2_outs, all_affine2_to_1=None,
         half_T_side_sparse_min, half_T_side_sparse_max, key,
         warp_impl=warp_impl)
 
-    k = x1_outs.shape[1]
     t_side = half_T_side_dense * 2 + 1
 
     if joint_impl == "pallas":

@@ -40,9 +40,11 @@ def append_grey(img, include_rgb):
 
 
 def center_crop(img, crop_sz):
+    # torchvision CenterCrop rounds the offset half UP (py2 round(3.5)=4),
+    # so odd size differences shift by +1 vs plain floor
     h, w = img.shape[:2]
-    top = (h - crop_sz) // 2
-    left = (w - crop_sz) // 2
+    top = (h - crop_sz + 1) // 2
+    left = (w - crop_sz + 1) // 2
     return jax.lax.dynamic_slice(
         img, (top, left, 0), (crop_sz, crop_sz, img.shape[2]))
 
@@ -102,9 +104,16 @@ def random_affine_img(img, key, max_rot=18.0, scale_min=0.9, scale_max=1.1,
     ty = jax.random.uniform(ks[4], (), minval=-max_translate,
                             maxval=max_translate) * 2.0
     cos, sin = jnp.cos(a), jnp.sin(a)
-    theta = jnp.array(
+    # forward content transform (rotate by a, shear, magnify by scale);
+    # grid_sample's theta maps OUTPUT->INPUT coords, so pass its inverse —
+    # torchvision RandomAffine does the same (_get_inverse_affine_matrix),
+    # otherwise scale>1 would shrink instead of magnify
+    fwd = jnp.array(
         [[cos * scale, -jnp.sin(a + shear) * scale, tx],
          [sin * scale, jnp.cos(a + shear) * scale, ty]], jnp.float32)
+    m = fwd[:, :2]
+    inv_m = jnp.linalg.inv(m)
+    theta = jnp.concatenate([inv_m, -inv_m @ fwd[:, 2:]], axis=1)
     data = jnp.transpose(img, (2, 0, 1))[None]
     grid = affine_grid(theta[None], data.shape)
     warped = jnp.transpose(grid_sample(data, grid)[0], (1, 2, 0))
@@ -282,6 +291,9 @@ def make_sobel_pair_transforms(config):
     rot_val = getattr(config, "rot_val", 0.0)
     rand_crop_szs_tf = tuple(getattr(config, "rand_crop_szs_tf", ()))
     cutout = getattr(config, "cutout", False)
+    # reference rejects the combination (cluster/transforms.py:165):
+    # cutout boxes are sized against the pre-fluid-warp crop geometry
+    assert not (cutout and fluid_warp), "cutout + fluid_warp unsupported"
     cutout_p = getattr(config, "cutout_p", 0.5)
     cutout_max_box = getattr(config, "cutout_max_box", 0.7)
     use_random_affine = getattr(config, "use_random_affine", False)
@@ -363,6 +375,20 @@ def make_greyscale_pair_transforms(config):
     always_rot = getattr(config, "always_rot", False)
     no_flip = getattr(config, "no_flip", True)
     no_jitter = getattr(config, "no_jitter", False)
+    demean = getattr(config, "demean", False)
+    data_mean = tuple(getattr(config, "data_mean", ()) or ())
+    data_std = tuple(getattr(config, "data_std", ()) or ())
+    do_per_img_demean = getattr(config, "per_img_demean", False)
+
+    def finish(img):
+        # Normalize(data_mean, data_std) + per_img_demean on every tf,
+        # exactly like the reference (cluster/transforms.py:311-328)
+        if demean and data_mean:
+            img = (img - jnp.asarray(data_mean, jnp.float32)) \
+                / jnp.asarray(data_std, jnp.float32)
+        if do_per_img_demean:
+            img = per_img_demean(img)
+        return img
 
     def tf1(img, key):
         if crop_orig:
@@ -372,7 +398,7 @@ def make_greyscale_pair_transforms(config):
                 img = center_crop(img, tf1_crop_sz)
             else:  # centre_half
                 img = crop_half_or_centre(img, key, tf1_crop_sz)
-        return resize(img, input_sz)
+        return finish(resize(img, input_sz))
 
     def tf2(img, key):
         ks = jax.random.split(key, 4)
@@ -388,12 +414,12 @@ def make_greyscale_pair_transforms(config):
             img = random_flip(img, ks[2])
         if not no_jitter:
             img = color_jitter(img, ks[3])
-        return img
+        return finish(img)
 
     def tf3(img):
         if crop_orig:
             sz = tf3_crop_sz if tf3_crop_diff else tf1_crop_sz
             img = center_crop(img, sz)
-        return resize(img, input_sz)
+        return finish(resize(img, input_sz))
 
     return tf1, tf2, tf3

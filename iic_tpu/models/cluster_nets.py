@@ -23,15 +23,16 @@ NET6C_CFG = ((64, 1), ("M", None), (128, 1), ("M", None),
              (256, 1), ("M", None), (512, 1))
 
 
-def _net6c_feature_dim(input_sz):
-    """Head input dim (code/archs/cluster/net6c.py:42-49)."""
-    if input_sz == 24:
-        sp = 3
-    elif input_sz == 64:
-        sp = 8
-    else:
-        raise ValueError(f"net6c supports input_sz 24 or 64, got {input_sz}")
-    return 512 * sp * sp, sp
+def _linear(mdl, feats, out_k, prefix=""):
+    """Single Linear (no softmax) with the reference init; shared by the
+    semisup head-B variants and the triplets head. Param names keep the
+    existing checkpoint layout ({prefix}kernel / {prefix}bias)."""
+    d = feats.shape[-1]
+    kernel = mdl.param(f"{prefix}kernel", linear_init(), (d, out_k),
+                       jnp.float32)
+    bias = mdl.param(f"{prefix}bias", nn.initializers.zeros, (out_k,),
+                     jnp.float32)
+    return feats.astype(jnp.float32) @ kernel + bias
 
 
 class ClusterNet6cTrunk(nn.Module):
@@ -142,6 +143,10 @@ class ClusterNet6cTwoHead(nn.Module):
             bn_axis_name=self.bn_axis_name, dtype=self.dtype)(x, train)
         if trunk_features:
             return feats
+        if head == "B" and self.semisup:
+            # the reference semisup head ignores kmeans_use_features and
+            # returns logits (net5g_two_head.py:28-40)
+            return _linear(self, feats, self.output_k_B, prefix="head_B_")
         if kmeans_use_features:
             return jnp.broadcast_to(
                 feats[None], (self.num_sub_heads,) + feats.shape)
@@ -150,13 +155,6 @@ class ClusterNet6cTwoHead(nn.Module):
                 num_sub_heads=self.num_sub_heads, output_k=self.output_k_A,
                 name="head_A")(feats)
         elif head == "B":
-            if self.semisup:
-                d = feats.shape[-1]
-                kernel = self.param("head_B_kernel", linear_init(),
-                                    (d, self.output_k_B), jnp.float32)
-                bias = self.param("head_B_bias", nn.initializers.zeros,
-                                  (self.output_k_B,), jnp.float32)
-                return feats.astype(jnp.float32) @ kernel + bias
             return MultiDenseHead(
                 num_sub_heads=self.num_sub_heads, output_k=self.output_k_B,
                 name="head_B")(feats)
@@ -214,6 +212,10 @@ class ClusterNet5gTwoHead(nn.Module):
         )(x, train, penultimate_features=penultimate_features)
         if trunk_features:
             return feats
+        if head == "B" and self.semisup:
+            # the reference semisup head ignores kmeans_use_features and
+            # returns logits (net5g_two_head.py:28-40)
+            return _linear(self, feats, self.output_k_B, prefix="head_B_")
         if kmeans_use_features:
             return jnp.broadcast_to(
                 feats[None], (self.num_sub_heads,) + feats.shape)
@@ -222,13 +224,6 @@ class ClusterNet5gTwoHead(nn.Module):
                 num_sub_heads=self.num_sub_heads, output_k=self.output_k_A,
                 name="head_A")(feats)
         elif head == "B":
-            if self.semisup:
-                d = feats.shape[-1]
-                kernel = self.param("head_B_kernel", linear_init(),
-                                    (d, self.output_k_B), jnp.float32)
-                bias = self.param("head_B_bias", nn.initializers.zeros,
-                                  (self.output_k_B,), jnp.float32)
-                return feats.astype(jnp.float32) @ kernel + bias
             return MultiDenseHead(
                 num_sub_heads=self.num_sub_heads, output_k=self.output_k_B,
                 name="head_B")(feats)
@@ -258,9 +253,4 @@ class TripletsNet(nn.Module):
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype)(x, train)
         if kmeans_use_features:
             return feats
-        d = feats.shape[-1]
-        kernel = self.param("kernel", linear_init(), (d, self.output_k),
-                            jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.output_k,),
-                          jnp.float32)
-        return feats.astype(jnp.float32) @ kernel + bias
+        return _linear(self, feats, self.output_k)

@@ -35,17 +35,12 @@ def get_patches(feats_nchw, centres, patch_side):
 
 
 class _SiameseJointHead(nn.Module):
-    patch_side: int
     out_dim: int
     batchnorm_track: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, patches1, patches2, train: bool = True):
-        def branch(p):
-            # shared weights: same submodule applied twice
-            return p
-
         conv = nn.Conv(1024, (3, 3), padding=[(1, 1), (1, 1)],
                        use_bias=False, kernel_init=kaiming_normal_fan_in,
                        dtype=self.dtype, param_dtype=jnp.float32,
@@ -102,7 +97,7 @@ class _SegBaselineNet(nn.Module):
         patches1 = get_patches(feats, centre, self.patch_side)
         patches2 = get_patches(feats, other, self.patch_side)
         return _SiameseJointHead(
-            patch_side=self.patch_side, out_dim=self.out_dim,
+            out_dim=self.out_dim,
             batchnorm_track=self.batchnorm_track, dtype=self.dtype,
         )(patches1, patches2, train=train)
 

@@ -110,12 +110,16 @@ def test_random_crop_offsets_uniform():
 
 
 def test_center_crop_matches_torchvision_rounding():
-    """CenterCrop top-left = ((h - c) // 2, (w - c) // 2) — exact."""
+    """torchvision-0.4 CenterCrop: top = int(round((h - c) / 2.)) with
+    py2 round-half-AWAY-from-zero, i.e. (h - c + 1) // 2 — one above
+    floor whenever the size difference is odd."""
     yy, xx = np.mgrid[0:11, 0:11].astype(np.float32)
     img = jnp.asarray(np.stack([yy, xx], axis=-1))
-    out = np.asarray(center_crop(img, 6))
-    assert out[0, 0, 0] == (11 - 6) // 2
-    assert out[0, 0, 1] == (11 - 6) // 2
+    out = np.asarray(center_crop(img, 6))  # (11-6)/2 = 2.5 -> round = 3
+    assert out[0, 0, 0] == 3
+    assert out[0, 0, 1] == 3
+    out_even = np.asarray(center_crop(img, 7))  # (11-7)/2 = 2 exactly
+    assert out_even[0, 0, 0] == 2
 
 
 # --------------------------------------------------------------------- flip
@@ -305,3 +309,41 @@ def test_greyscale_tf2_rotation_rate_mnist_config():
 
     rate = np.asarray(jax.vmap(changed)(_keys(10, 1500))).mean()
     assert abs(rate - 0.5) < 0.05, rate
+
+
+def test_greyscale_demean_applied():
+    """greyscale_make_transforms applies Normalize(data_mean, data_std)
+    and per_img_demean to every tf (reference transforms.py:311-328)."""
+    from types import SimpleNamespace
+    from iic_tpu.data.transforms import make_greyscale_pair_transforms
+
+    cfg = SimpleNamespace(
+        crop_orig=False, crop_other=False, input_sz=8, rot_val=0.0,
+        no_flip=True, no_jitter=True, demean=True,
+        data_mean=(0.25,), data_std=(0.5,), per_img_demean=False)
+    _, _, tf3 = make_greyscale_pair_transforms(cfg)
+    img = jnp.full((8, 8, 1), 0.75, jnp.float32)
+    out = np.asarray(tf3(img))
+    np.testing.assert_allclose(out, (0.75 - 0.25) / 0.5, rtol=1e-6)
+
+    cfg.demean = False
+    cfg.per_img_demean = True
+    _, _, tf3p = make_greyscale_pair_transforms(cfg)
+    out_p = np.asarray(tf3p(img))
+    np.testing.assert_allclose(out_p, 0.0, atol=1e-6)  # mean removed
+
+
+def test_random_affine_scale_magnifies():
+    """torchvision RandomAffine(scale=(s, s)) with s > 1 MAGNIFIES content
+    (the sampling grid uses the inverse matrix); a bright centre square
+    must grow, not shrink."""
+    from iic_tpu.data.transforms import random_affine_img
+
+    img = np.zeros((32, 32, 1), np.float32)
+    img[12:20, 12:20] = 1.0
+    out = np.asarray(random_affine_img(
+        jnp.asarray(img), jax.random.PRNGKey(0), max_rot=0.0,
+        scale_min=2.0, scale_max=2.0, max_shear=0.0, max_translate=0.0,
+        p=1.0))
+    # 2x magnification: the 8x8 square covers ~16x16 (clipped at borders)
+    assert out.sum() > 2.5 * img.sum(), (out.sum(), img.sum())

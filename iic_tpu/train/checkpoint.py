@@ -37,8 +37,10 @@ def _write_meta(config, history, last_epoch, name):
     best_config.pickle when saving a best checkpoint, like the reference's
     separate best-epoch config dump (cluster_sobel_twohead.py:444-449)."""
     d = run_dir(config)
+    cfg_dict = (dataclasses.asdict(config)
+                if dataclasses.is_dataclass(config) else dict(vars(config)))
     meta = {
-        "config": dataclasses.asdict(config),
+        "config": cfg_dict,
         "history": history,
         "last_epoch": last_epoch,
     }
@@ -131,12 +133,18 @@ def load_checkpoint_orbax(config, state_template, name="latest"):
         "step": 0,
         "last_epoch": 0,
     }
+    # Probe the checkpoint's own structure for the last_epoch leaf instead
+    # of retrying on arbitrary restore errors (a genuinely corrupt
+    # checkpoint must surface its original exception, not a misleading
+    # structure-mismatch one from a blind retry).
     try:
-        pure = ckptr.restore(path, target)
+        saved_keys = set(ckptr.metadata(path).keys())
     except Exception:
+        saved_keys = None  # no readable metadata: assume current format
+    if saved_keys is not None and "last_epoch" not in saved_keys:
         # checkpoints from before last_epoch was stored in the tree
         target.pop("last_epoch")
-        pure = ckptr.restore(path, target)
+    pure = ckptr.restore(path, target)
     state = TS(params=pure["params"], batch_stats=pure["batch_stats"],
                opt_state=pure["opt_state"],
                step=np.asarray(pure["step"], np.int32))

@@ -16,13 +16,16 @@ and cv2 share.
 
 from typing import Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from iic_tpu.ops.affine import affine_grid, grid_sample
 
-# PIL ``to_grayscale`` / cv2 COLOR_RGB2GRAY weights.
-_GREY_W = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# PIL ``to_grayscale`` / cv2 COLOR_RGB2GRAY weights (host numpy: module
+# import must not initialise the XLA backend — see ops/sobel.py).
+_GREY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def to_grey(img):

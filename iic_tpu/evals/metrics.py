@@ -20,6 +20,16 @@ def vote_matrix(flat_preds, flat_targets, preds_k, targets_k):
     Exact integer counts (reference eval_metrics.py:40-44 semantics)."""
     p = np.asarray(flat_preds).astype(np.int64).ravel()
     t = np.asarray(flat_targets).astype(np.int64).ravel()
+    if p.size:
+        # callers mask out ignore-labels before voting; an out-of-range id
+        # here (e.g. an unmasked -1) would otherwise crash deep inside
+        # bincount/reshape with a baffling message
+        assert p.min() >= 0 and p.max() < preds_k, (
+            f"pred ids outside [0, {preds_k}): "
+            f"[{p.min()}, {p.max()}] — unmasked ignore-label?")
+        assert t.min() >= 0 and t.max() < targets_k, (
+            f"target ids outside [0, {targets_k}): "
+            f"[{t.min()}, {t.max()}] — unmasked ignore-label?")
     counts = np.bincount(p * targets_k + t,
                          minlength=preds_k * targets_k)
     return counts.reshape(preds_k, targets_k).astype(np.float64)

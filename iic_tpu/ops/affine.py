@@ -207,11 +207,12 @@ def affine_warp_matmul_exact(data, theta, row_chunk=8):
     work, used for exact-parity mode, not the training default).
 
     Memory is bounded by ``row_chunk`` output rows in flight
-    (intermediate (N, C, R, W, W) f32); row_chunk is lowered to the
-    nearest divisor of H."""
+    (intermediate (N, C, R, W, W) f32); the output-row range is padded up
+    to a multiple of row_chunk and sliced, so odd/prime H keeps full-width
+    chunks instead of degrading to row_chunk=1."""
     n, ch, H, W = data.shape
-    while H % row_chunk:
-        row_chunk -= 1
+    row_chunk = min(row_chunk, H)
+    num_chunks = -(-H // row_chunk)  # ceil: rows >= H are sliced off below
     a, b, tx, c, d, ty = _pixel_space_affine(theta, H, W)
     p_idx = jnp.arange(H, dtype=jnp.float32)
     q_idx = jnp.arange(W, dtype=jnp.float32)
@@ -235,6 +236,8 @@ def affine_warp_matmul_exact(data, theta, row_chunk=8):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xpos[..., None] - q_idx))
         return (t_ * wx[:, None]).sum(-1)  # (n, C, R, W)
 
-    chunks = jax.lax.map(one_chunk, jnp.arange(H // row_chunk))
-    # (H/R, n, C, R, W) -> (n, C, H, W)
-    return jnp.transpose(chunks, (1, 2, 0, 3, 4)).reshape(n, ch, H, W)
+    chunks = jax.lax.map(one_chunk, jnp.arange(num_chunks))
+    # (ceil(H/R), n, C, R, W) -> (n, C, ceil(H/R)*R, W) -> slice to H
+    out = jnp.transpose(chunks, (1, 2, 0, 3, 4)).reshape(
+        n, ch, num_chunks * row_chunk, W)
+    return out[:, :, :H]

@@ -8,17 +8,21 @@ fixed-weight ``lax.conv`` with 2 output channels — XLA fuses this into the
 input pipeline; no per-call module construction like the reference.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 # dx kernel (code/utils/cluster/transforms.py:69) and dy kernel (:75).
-_SOBEL_DX = jnp.array(
-    [[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]], dtype=jnp.float32)
-_SOBEL_DY = jnp.array(
-    [[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]], dtype=jnp.float32)
+# Kept as host numpy: importing iic_tpu must NOT initialise the XLA
+# backend (multi-host bring-up calls jax.distributed.initialize after
+# import); jnp converts on first use inside a traced computation.
+_SOBEL_DX = np.array(
+    [[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]], dtype=np.float32)
+_SOBEL_DY = np.array(
+    [[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]], dtype=np.float32)
 
 # (O=2, I=1, 3, 3)
-_SOBEL_KERNEL = jnp.stack([_SOBEL_DX, _SOBEL_DY])[:, None]
+_SOBEL_KERNEL = np.stack([_SOBEL_DX, _SOBEL_DY])[:, None]
 
 
 def sobel_filter(grey_imgs):

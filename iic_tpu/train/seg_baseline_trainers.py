@@ -82,13 +82,17 @@ def isola_set_patches(rng, input_sz, patch_side):
     d_border = np.floor(patch_side / 2.0) * np.ones(2)
     patch = np.array([patch_side, patch_side], np.float64)
     adjacent = bool(rng.random() < 0.5)
+    # The reference never resamples `adjacent` inside its retry loop; on
+    # tight geometries a non-adjacent placement can be (near-)infeasible,
+    # so re-draw it occasionally there instead of hanging. On standard
+    # configs (input_sz >= 4 * patch_side) rejection always terminates, and
+    # never resampling keeps the adjacent/non-adjacent marginal exactly
+    # distribution-identical to the reference.
+    tight = input_sz < 4 * patch_side
     attempt = 0
     while True:
-        # the reference never resamples `adjacent` inside its retry loop;
-        # on small images a non-adjacent placement can be geometrically
-        # impossible, so re-draw it occasionally instead of hanging
         attempt += 1
-        if attempt % 100 == 0:
+        if tight and attempt % 100 == 0:
             adjacent = bool(rng.random() < 0.5)
         start, end = 1.5 * patch, img_sz - 1.5 * patch
         centre = np.floor(rng.random(2) * (end - start) + start).astype(int)

@@ -164,7 +164,7 @@ def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,
                         half_T_side_sparse_min, half_T_side_sparse_max,
                         sobel=False, include_rgb=False, using_IR=False,
                         use_uncollapsed_loss=False, augment=None,
-                        warp_impl="matmul", joint_impl="fft",
+                        warp_impl="matmul", joint_impl="pallas",
                         mesh=None, axis_name="data", joint_mode="global",
                         fused_pair_forward=False, epoch_scan=False):
     """Build the jitted segmentation train step for one head.

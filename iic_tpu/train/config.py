@@ -199,6 +199,11 @@ class SegConfig:
     seed: int = 0
     eval_batch_sz: Optional[int] = None
     exact_warp: bool = False  # True: torch-parity gather warp in the loss
+    # displacement-joint implementation for the uncollapsed loss:
+    # "pallas" (fused stacked-shift GEMM kernel, fwd+bwd 25.5 ms vs FFT's
+    # 32.4 on the paper shape — the measured training default), "fft", or
+    # "conv" (exact-parity reference conv)
+    joint_impl: str = "pallas"
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)

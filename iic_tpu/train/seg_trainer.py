@@ -86,6 +86,7 @@ def train_segmentation_twohead(config):
         using_IR=config.using_IR,
         use_uncollapsed_loss=config.use_uncollapsed_loss,
         warp_impl="matmul_exact" if config.exact_warp else "matmul",
+        joint_impl=getattr(config, "joint_impl", "pallas"),
         augment=pipe.augment, mesh=mesh, joint_mode=config.joint_mode,
         fused_pair_forward=getattr(config, "fused_pair_forward", False))
     steps = {
@@ -233,6 +234,7 @@ def train_segmentation_single(config):
             using_IR=config.using_IR,
             use_uncollapsed_loss=config.use_uncollapsed_loss,
             warp_impl="matmul_exact" if config.exact_warp else "matmul",
+            joint_impl=getattr(config, "joint_impl", "pallas"),
             augment=pipe.augment, mesh=step_mesh,
             joint_mode=config.joint_mode,
             fused_pair_forward=getattr(config, "fused_pair_forward",

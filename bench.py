@@ -6,12 +6,15 @@ on 4 GPUs (~8.25/s/GPU, derived from log timestamps in
 examples/logs_segmentation — BASELINE.md row 'Train throughput'), measured
 over its FULL training loop including its GPU-side __getitem__ pipeline.
 
-Headline metric: the FULL pipeline rate — host batch prep (crop/pad/mask
-geometry per image, as the real COCO path does) -> async device upload
-with one-deep prefetch -> jitted fused program (paired augmentation +
-sobel + double forward + displacement-MI loss + adam update), measured
-over >= 2 epochs of a synthetic COCO-shaped dataset. The device-step-only
-rate (resident batch, augmentation included) is reported alongside.
+Headline metric: the FULL pipeline rate over the reference's exact epoch
+structure — alternating head-A (output_k 15, lamb 1.0) and head-B
+(output_k 3, lamb 1.5) full passes (segmentation_twohead.py:180,242;
+examples/commands.txt:74, model 555) — host batch prep (crop/pad/mask
+geometry per image, as the real COCO path does) on a background prefetch
+thread -> async device upload -> jitted fused program (paired augmentation
++ sobel + double forward + Pallas displacement-MI loss + adam update).
+Per-head device-step rates and the device-resident / whole-epoch-scan
+modes are reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -28,6 +31,10 @@ REFERENCE_PAIRS_PER_SEC_PER_CHIP = 33.0 / 4.0  # 4-GPU DataParallel run
 BATCH_SZ = 120
 INPUT_SZ = 128
 RAW_SZ = 146  # host crop 146 -> 128 per image, like the pre-scaled COCO path
+
+# reference epoch = one full A pass then one full B pass
+HEADS = ("A", "B")
+LAMBS = {"A": 1.0, "B": 1.5}  # commands.txt:74 --lamb_A 1.0 --lamb_B 1.5
 
 
 def _config():
@@ -62,6 +69,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iic_tpu import models
+    from iic_tpu.data.prefetch import prefetch_epochs
     from iic_tpu.data.seg_pipeline import SegTrainPipeline
     from iic_tpu.parallel import create_train_state, make_seg_train_step
 
@@ -75,94 +83,114 @@ def main():
     state = create_train_state(variables, tx)
 
     pipe = SegTrainPipeline(cfg, ["train"])
-    step = make_seg_train_step(
-        net, tx, lamb=1.0, head="B", half_T_side_dense=10,
-        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
-        sobel=True, include_rgb=True, use_uncollapsed_loss=True,
-        joint_impl="fft", augment=pipe.augment)
 
-    # ---- end-to-end pipeline rate (headline): host prep + prefetch +
-    # fused augment/sobel/forward/loss/update, >= 2 epochs
-    for imgs, masks, k in pipe.epoch(0, augmented=False):  # compile + warm
-        state, loss, _ = step(state, (imgs, masks), k)
-    jax.block_until_ready(loss)
+    def build_steps(augment, epoch_scan=False):
+        return {
+            h: make_seg_train_step(
+                net, tx, lamb=LAMBS[h], head=h, half_T_side_dense=10,
+                half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+                sobel=True, include_rgb=True, use_uncollapsed_loss=True,
+                augment=augment, epoch_scan=epoch_scan)
+            for h in HEADS}
 
-    n_pairs = 0
+    steps = build_steps(pipe.augment)
+
+    def run_passes(first_pass, n_passes, count_pairs=True):
+        """Alternating A/B full passes, host prep + upload on the
+        prefetch thread (depth 2). Returns (n_pairs, last_loss)."""
+        nonlocal state
+        n_pairs = 0
+        it = prefetch_epochs(pipe, range(first_pass, first_pass + n_passes),
+                             depth=2, augmented=False)
+        for e_i, imgs, masks, k in it:
+            head = HEADS[e_i % 2]
+            state, loss, _ = steps[head](state, (imgs, masks), k)
+            if count_pairs:
+                n_pairs += int(imgs.shape[0])
+        return n_pairs, loss
+
+    # ---- end-to-end pipeline rate (headline): A pass + B pass alternation
+    # NOTE: every timing barrier below is a VALUE FETCH (float(loss)),
+    # not block_until_ready - over the axon tunnel block_until_ready
+    # returns before execution completes (measured: 16 queued ~193 ms
+    # steps 'completed' in 0.45 s under it; float() of the
+    # state-chained loss waits for the real work)
+    _, loss = run_passes(0, 2)  # compile + warm both heads
+    float(loss)
     t0 = time.perf_counter()
-    for e_i in range(1, 3):
-        for imgs, masks, k in pipe.epoch(e_i, augmented=False):
-            state, loss, _ = step(state, (imgs, masks), k)
-            n_pairs += int(imgs.shape[0])
-    jax.block_until_ready(loss)
-    dt_full = time.perf_counter() - t0
-    full_rate = n_pairs / dt_full
+    n_pairs, loss = run_passes(2, 4)  # 2 full A+B epochs
+    float(loss)
+    full_rate = n_pairs / (time.perf_counter() - t0)
 
-    # ---- device-step-only rate (resident batch, augmentation included)
+    # ---- device-step-only rate per head (resident batch, aug included)
     imgs, masks, k = next(pipe.epoch(0, augmented=False))
-    state, loss, _ = step(state, (imgs, masks), k)
-    jax.block_until_ready(loss)
-    n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss, _ = step(state, (imgs, masks),
-                              jax.random.fold_in(k, i))
-    jax.block_until_ready(loss)
-    dt_step = time.perf_counter() - t0
-    step_rate = n_steps * BATCH_SZ / dt_step
+    step_rates = {}
+    for h in HEADS:
+        st = create_train_state(variables, tx)
+        st, loss, _ = steps[h](st, (imgs, masks), k)
+        float(loss)
+        n_steps = 20
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            st, loss, _ = steps[h](st, (imgs, masks),
+                                   jax.random.fold_in(k, i))
+        float(loss)
+        step_rates[h] = n_steps * BATCH_SZ / (time.perf_counter() - t0)
+    step_rate_mix = 2.0 / (1.0 / step_rates["A"] + 1.0 / step_rates["B"])
 
     # ---- device-resident dataset mode (--resident_data): the whole set
-    # staged in HBM once, per-draw crop on device; full epochs, fresh
+    # staged in HBM once, per-draw crop on device; full A+B epochs, fresh
     # augmentations per sample, zero per-step host work.
     pipe_res = SegTrainPipeline(cfg, ["train"], resident=True)
-    step_res = make_seg_train_step(
-        net, tx, lamb=1.0, head="B", half_T_side_dense=10,
-        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
-        sobel=True, include_rgb=True, use_uncollapsed_loss=True,
-        joint_impl="fft", augment=pipe_res.augment)
+    steps_res = build_steps(pipe_res.augment)
     state_res = create_train_state(variables, tx)
-    for i1, i2, kk in pipe_res.epoch(0, augmented=False):  # warm/compile
-        state_res, loss, _ = step_res(state_res, (i1, i2), kk)
-    jax.block_until_ready(loss)
+    for e_i in range(2):  # warm/compile both heads
+        for i1, i2, kk in pipe_res.epoch(e_i, augmented=False):
+            state_res, loss, _ = steps_res[HEADS[e_i % 2]](
+                state_res, (i1, i2), kk)
+    float(loss)
     n_pairs_res = 0
     t0 = time.perf_counter()
-    for e_i in range(1, 3):
+    for e_i in range(2, 6):
         for i1, i2, kk in pipe_res.epoch(e_i, augmented=False):
-            state_res, loss, _ = step_res(state_res, (i1, i2), kk)
+            state_res, loss, _ = steps_res[HEADS[e_i % 2]](
+                state_res, (i1, i2), kk)
             n_pairs_res += int(i1.shape[0])
-    jax.block_until_ready(loss)
+    float(loss)
     resident_rate = n_pairs_res / (time.perf_counter() - t0)
 
-    # ---- resident + whole-epoch lax.scan: ONE device dispatch per epoch
-    # (epoch_scan=True), the fully fused XLA training loop.
-    erun = make_seg_train_step(
-        net, tx, lamb=1.0, head="B", half_T_side_dense=10,
-        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
-        sobel=True, include_rgb=True, use_uncollapsed_loss=True,
-        joint_impl="fft", augment=pipe_res.augment, epoch_scan=True)
+    # ---- resident + whole-epoch lax.scan: ONE device dispatch per full
+    # pass (epoch_scan=True), the fully fused XLA training loop.
+    eruns = build_steps(pipe_res.augment, epoch_scan=True)
     state_sc = create_train_state(
         jax.tree_util.tree_map(jnp.copy, variables), tx)
-    mat, root = pipe_res.epoch_scan_inputs(0)
-    state_sc, losses, _ = erun(state_sc, mat, root)  # compile + warm
-    jax.block_until_ready(losses)
+    for e_i in range(2):  # warm/compile both heads
+        mat, root = pipe_res.epoch_scan_inputs(e_i)
+        state_sc, losses, _ = eruns[HEADS[e_i % 2]](state_sc, mat, root)
+    float(losses[-1])
     n_pairs_sc = 0
     t0 = time.perf_counter()
-    for e_i in range(1, 3):
+    for e_i in range(2, 6):
         mat, root = pipe_res.epoch_scan_inputs(e_i)
-        state_sc, losses, _ = erun(state_sc, mat, root)
+        state_sc, losses, _ = eruns[HEADS[e_i % 2]](state_sc, mat, root)
         n_pairs_sc += mat.shape[0] * mat.shape[1]
-    jax.block_until_ready(losses)
+    float(losses[-1])
     scan_rate = n_pairs_sc / (time.perf_counter() - t0)
 
     result = {
         "metric": "aug-pairs/sec/chip end-to-end (COCO-Stuff-3 seg "
-                  "training: host prep + prefetch + fused augment/sobel/"
-                  "fwd/loss/adam, batch 120, 128^2, net10a twohead, "
-                  "T=21 uncollapsed)",
+                  "training, reference epoch structure: alternating "
+                  "head-A k=15 / head-B k=3 full passes; host prep on "
+                  "prefetch thread + fused augment/sobel/fwd/pallas-loss/"
+                  "adam, batch 120, 128^2, net10a twohead, T=21 "
+                  "uncollapsed)",
         "value": round(full_rate, 2),
         "unit": "aug-pairs/s",
         "vs_baseline": round(full_rate / REFERENCE_PAIRS_PER_SEC_PER_CHIP,
                              2),
-        "device_step_only": round(step_rate, 2),
+        "device_step_only_head_A": round(step_rates["A"], 2),
+        "device_step_only_head_B": round(step_rates["B"], 2),
+        "device_step_only_mix": round(step_rate_mix, 2),
         "resident_data_mode": round(resident_rate, 2),
         "resident_epoch_scan": round(scan_rate, 2),
     }

@@ -28,7 +28,7 @@ from iic_tpu.data.transforms import (
 def _is_greyscale(config):
     if getattr(config, "greyscale", False):
         return True
-    if config.dataset in ("MNIST", "Digits"):
+    if config.dataset in ("MNIST",) or config.dataset.startswith("Digits"):
         return True
     if config.dataset.startswith("Synthetic"):
         # Synthetic<K>x<SZ>x<C>[x<N>]: channels is the third field
@@ -180,18 +180,36 @@ class ClusterTrainPipeline:
         if pc > 1:
             assert bsz % pc == 0, (bsz, pc)
             assert not augmented, "multi-host yields host-local shards"
-            # a ragged final batch would give unequal per-process shards
-            assert self.drop_last or len(self.images) % bsz == 0, (
-                "multi-host needs drop_last=True or a divisible dataset "
-                f"({len(self.images)} % {bsz} != 0)")
         pending = None
         for b_i in range(self.num_batches):
             lo, hi = b_i * bsz, (b_i + 1) * bsz
-            if pc > 1:  # this process's contiguous sub-block
+            if pc > 1:
+                # A ragged final batch would give unequal per-process
+                # shards: PAD the global batch to bsz by repeating its
+                # last sample and carry per-sample weights (0 on the
+                # padding) — the trainers run the weighted step, whose
+                # joint masks the padding out exactly (reference slices
+                # partial batches; sample counts match it exactly).
+                gidx = (np.arange(lo, hi) if order is None
+                        else np.asarray(order[lo:min(hi, n)]))
+                gidx = np.minimum(gidx, n - 1)
+                m = min(hi, n) - lo  # valid count
+                if m < bsz:
+                    gidx = np.concatenate(
+                        [gidx[:m], np.full(bsz - m, gidx[m - 1])])
+                weights = np.ones(bsz, np.float32)
+                weights[m:] = 0.0
                 shard = bsz // pc
-                lo, hi = lo + pi * shard, lo + (pi + 1) * shard
+                sl = slice(pi * shard, (pi + 1) * shard)
+                batch = self.images[gidx[sl]]
+                key = jax.random.fold_in(root, b_i)
+                # host-local numpy shard; the trainer builds the global
+                # array over the multi-host mesh (make_global_batch)
+                if pending is not None:
+                    yield pending
+                pending = ((batch, weights[sl]), key)
+                continue
             if self.resident:
-                assert pc == 1, "resident mode is single-process"
                 batch = (np.arange(lo, min(hi, n), dtype=np.int32)
                          if order is None
                          else order[lo:hi].astype(np.int32))
@@ -200,13 +218,6 @@ class ClusterTrainPipeline:
             else:
                 batch = self.images[order[lo:hi]]
             key = jax.random.fold_in(root, b_i)
-            if pc > 1:
-                # host-local numpy shard; the trainer builds the global
-                # array over the multi-host mesh (make_global_batch)
-                if pending is not None:
-                    yield pending
-                pending = (batch, key)
-                continue
             batch_dev = jax.device_put(batch)  # async upload
             if pending is not None:
                 yield pending
@@ -270,13 +281,20 @@ class MappingLoader:
 
         self._transform_jit = jax.jit(transform)
 
-    def __iter__(self):
+    def _batches(self):
         bsz = self.batch_sz
         n = len(self.images)
         for start in range(0, n, bsz):
             imgs = self.images[start:start + bsz]
             labels = self.labels[start:start + bsz]
             yield self._transform_jit(jnp.asarray(imgs)), labels
+
+    def __iter__(self):
+        # background-thread prefetch: the synchronous host part of the
+        # upload for batch i+1/i+2 overlaps the consumer blocking on
+        # batch i's outputs
+        from iic_tpu.data.prefetch import ThreadedPrefetch
+        return iter(ThreadedPrefetch(self._batches(), depth=2))
 
     def __len__(self):
         return int(np.ceil(len(self.images) / self.batch_sz))
@@ -285,7 +303,7 @@ class MappingLoader:
 def _twohead_partitions(config):
     """Partition tables (code/utils/cluster/data.py:18-75)."""
     ds = config.dataset
-    if ("CIFAR" in ds or ds in ("MNIST", "Digits")
+    if ("CIFAR" in ds or ds == "MNIST" or ds.startswith("Digits")
             or ds.startswith("Synthetic")):
         train_a = [True, False]
         train_b = train_a
@@ -386,7 +404,7 @@ def cluster_create_dataloaders(config, seed=0, drop_last=False):
     (train_pipeline, mapping_assignment_loader, mapping_test_loader)."""
     assert config.mode == "IID+"
     ds = config.dataset
-    if ("CIFAR" in ds or ds in ("MNIST", "Digits")
+    if ("CIFAR" in ds or ds == "MNIST" or ds.startswith("Digits")
             or ds.startswith("Synthetic")):
         train = [True]
         map_a = [True]

@@ -207,6 +207,39 @@ def load_digits_sklearn(train=True, upscale=3):
     return {"images": imgs[sl], "labels": labels[sl]}
 
 
+def load_digits_nuisance(train=True, canvas=32, upscale=3, seed=0):
+    """Real digits with STRONG static per-image nuisance baked into the
+    dataset: each (upscaled, 24x24) digit is rotated uniformly in +-30 deg,
+    contrast-scaled by [0.5, 1] and placed at a uniformly random offset in
+    a ``canvas`` x ``canvas`` frame (one fixed draw per image — the
+    dataset is deterministic). Probe for semisup trunk quality
+    (VERDICT r2 #8): the nuisance family is exactly what the paper's
+    MNIST tf2 marginalises over (random crops + rotation,
+    examples/commands.txt:30), so an IIC-pretrained trunk learns
+    nuisance-invariant digit features, while a FROZEN RANDOM trunk's
+    spatially-flattened features entangle position/rotation/contrast with
+    class and a small-label probe on them fails — unlike plain centred
+    Digits, where random features are nearly linearly separable
+    (VALIDATION.md round-2 table)."""
+    import cv2
+    base = load_digits_sklearn(train=train, upscale=upscale)
+    imgs, labels = base["images"], base["labels"]
+    rng = np.random.default_rng(seed if train else seed + 1)
+    d = imgs.shape[1]
+    assert canvas >= d, (canvas, d)
+    m = canvas - d
+    out = np.zeros((len(imgs), canvas, canvas, 1), np.uint8)
+    for i, im in enumerate(imgs):
+        ang = float(rng.uniform(-30.0, 30.0))
+        contrast = float(rng.uniform(0.5, 1.0))
+        y, x = (int(v) for v in rng.integers(0, m + 1, 2))
+        mat = cv2.getRotationMatrix2D((d / 2.0, d / 2.0), ang, 1.0)
+        rot = cv2.warpAffine(im[:, :, 0].astype(np.float32), mat, (d, d))
+        out[i, y:y + d, x:x + d, 0] = np.clip(
+            rot * contrast, 0, 255).astype(np.uint8)
+    return {"images": out, "labels": labels}
+
+
 def reorder_train_deterministic_ids(n_train=5000, per=20):
     """STL10 mix_train interleave: first 5k spread one-every-20 through the
     100k unlabelled (reference code/utils/cluster/general.py:26-45)."""
@@ -248,6 +281,7 @@ DATASET_LOADERS = {
     "CIFAR20": lambda root, part: load_cifar20(root, train=part),
     "STL10": lambda root, part: load_stl10(root, split=part),
     "Digits": lambda root, part: load_digits_sklearn(train=part),
+    "DigitsNuisance": lambda root, part: load_digits_nuisance(train=part),
 }
 
 

@@ -120,7 +120,8 @@ class SegTrainPipeline:
     its partition tables pay nothing."""
 
     def __init__(self, config, partitions, seed=0, use_native=None,
-                 drop_last=False, process_shard=None, resident=False):
+                 drop_last=False, process_shard=None, resident=False,
+                 use_fast_host=True):
         self.config = config
         self.seed = seed
         # (process_index, process_count) — multi-host input sharding; every
@@ -159,6 +160,9 @@ class SegTrainPipeline:
         self._augment_jit = jax.jit(self.augment)
 
         self._native = None
+        # batched numpy fast path (see _numpy_batch); tests disable it to
+        # lock its parity with the per-sample path
+        self._fast_host = use_fast_host
         # auto mode enables the native path only on multi-core hosts: its
         # win is thread-level parallelism across samples; single-threaded,
         # cv2's SIMD resize in the numpy path is faster (measured).
@@ -249,6 +253,65 @@ class SegTrainPipeline:
     def _sample(self, global_idx, rng):
         d, i = self._locate(global_idx)
         return d.get_train(i, rng)
+
+    def _numpy_batch(self, idxs, rng):
+        """Host prep for one batch on the numpy path. Uses a BATCHED fast
+        path when no rescale is active, the batch's raw shapes are uniform
+        and >= input_sz, and the label filter has table form: the random
+        crop centres are drawn per sample in exactly the order
+        ``pad_and_or_crop(mode="random")`` draws them (2 ``rng.integers``
+        calls each — identical rng stream, identical batches), then the
+        pixel work is b memcpy crops + one table lookup instead of ~10
+        Python/numpy ops per sample (measured 57 -> ~5 ms/batch at the
+        bench shape on the 1-CPU host). Falls back to per-sample
+        ``get_train`` otherwise."""
+        cfg = self.config
+        sz = cfg.input_sz
+        use_fast = (self._fast_host
+                    and not getattr(cfg, "pre_scale_all", False)
+                    and not getattr(cfg, "use_random_scale", False))
+        if use_fast:
+            located = [self._locate(int(i)) for i in idxs]
+            raws = [d._load_raw(i) for d, i in located]
+            shapes = {r[0].shape for r in raws}
+            h, w = raws[0][0].shape[:2]
+            have_labels = all(r[1] is not None for r in raws)
+            table = located[0][0].label_filter_table()
+            tables_ok = (not have_labels) or (
+                table is not None and all(
+                    np.array_equal(d.label_filter_table(), table)
+                    for d, _ in located[1:]))
+            use_fast = (len(shapes) == 1 and h >= sz and w >= sz
+                        and tables_ok)
+        if not use_fast:
+            samples = [self._sample(int(i), rng) for i in idxs]
+            return (np.stack([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]))
+
+        b = len(idxs)
+        half = sz // 2
+        if sz % 2 == 1:
+            h_c_max, w_c_max = h - 1 - half, w - 1 - half
+        else:
+            h_c_max, w_c_max = h - half, w - half
+        starts = np.empty((b, 2), np.int64)
+        for j in range(b):  # same 2 draws/sample as pad_and_or_crop
+            starts[j, 0] = int(rng.integers(half, h_c_max + 1)) - half
+            starts[j, 1] = int(rng.integers(half, w_c_max + 1)) - half
+        c = raws[0][0].shape[2] if raws[0][0].ndim == 3 else 1
+        imgs = np.empty((b, sz, sz, c), np.uint8)
+        for j, (img, _) in enumerate(raws):
+            y, x = starts[j]
+            imgs[j] = img[y:y + sz, x:x + sz].reshape(sz, sz, c)
+        if have_labels:
+            labs = np.empty((b, sz, sz), np.int64)
+            for j, (_, lab) in enumerate(raws):
+                y, x = starts[j]
+                labs[j] = lab[y:y + sz, x:x + sz]
+            masks = (table[labs + 1] >= 0).astype(np.uint8)
+        else:
+            masks = np.ones((b, sz, sz), np.uint8)
+        return imgs, masks
 
     def _draw_geometry(self, dataset, img_shape, rng):
         """Replicate get_train's random draws: (combined scale, crop
@@ -373,26 +436,38 @@ class SegTrainPipeline:
         if pc > 1:
             assert self.batch_sz % pc == 0, (self.batch_sz, pc)
             assert not augmented, "multi-host yields host-local shards"
-            # a ragged final batch would give unequal per-process shards
-            assert self.drop_last or self.total % self.batch_sz == 0, (
-                "multi-host needs drop_last=True or a divisible dataset "
-                f"({self.total} % {self.batch_sz} != 0)")
         pending = None  # one-deep prefetch: overlap upload with the step
         for b_i in range(self.num_batches):
             idxs = order[b_i * self.batch_sz:(b_i + 1) * self.batch_sz]
+            n_valid = len(idxs)
+            if pc > 1 and n_valid < self.batch_sz:
+                # ragged final batch: PAD to batch_sz by repeating the
+                # last sample — its relevancy masks are then ZEROED, so
+                # the mask-aware seg loss ignores the padding exactly
+                # (reference keeps+slices partial batches; sample counts
+                # match it exactly)
+                idxs = np.concatenate(
+                    [idxs, np.full(self.batch_sz - n_valid, idxs[-1])])
             if r > 1:  # r independent draws of the same base images
                 idxs = np.concatenate([idxs] * r)
             if pc > 1:  # prep only this process's contiguous sub-block
                 shard = len(idxs) // pc
+                pad_from = None
+                if n_valid < self.batch_sz:
+                    # padding rows of this shard (per r-repeat block)
+                    valid = np.tile(
+                        np.arange(self.batch_sz) < n_valid, r)
+                    pad_from = ~valid[pi * shard:(pi + 1) * shard]
                 idxs = idxs[pi * shard:(pi + 1) * shard]
             if self._native is not None:
                 imgs, masks = self._native_batch(idxs, rng)
             else:
-                samples = [self._sample(int(i), rng) for i in idxs]
-                imgs = np.stack([s[0] for s in samples])
-                masks = np.stack([s[1] for s in samples])
+                imgs, masks = self._numpy_batch(idxs, rng)
             key = jax.random.fold_in(root, b_i)
             if pc > 1:
+                if pad_from is not None:
+                    masks = masks.copy()
+                    masks[pad_from] = 0
                 if pending is not None:
                     yield pending
                 pending = (imgs, masks, key)
@@ -471,7 +546,7 @@ class SegMappingLoader:
             global_idx -= n
         raise IndexError
 
-    def __iter__(self):
+    def _batches(self):
         for start in range(0, self.total, self.batch_sz):
             samples = [self._get(i)
                        for i in range(start,
@@ -481,6 +556,12 @@ class SegMappingLoader:
             labels = np.stack([s[1] for s in samples])
             masks = np.stack([s[2] for s in samples])
             yield self._transform_jit(jnp.asarray(imgs)), labels, masks
+
+    def __iter__(self):
+        # background-thread prefetch: decode/stack/upload of batch i+1/i+2
+        # overlaps the consumer blocking on batch i's outputs
+        from iic_tpu.data.prefetch import ThreadedPrefetch
+        return iter(ThreadedPrefetch(self._batches(), depth=2))
 
     def __len__(self):
         return int(np.ceil(self.total / self.batch_sz))

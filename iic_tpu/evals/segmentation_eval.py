@@ -17,20 +17,23 @@ def segmentation_get_data(config, apply_fn, dataloader):
     Returns (flat_predss (H, M), flat_targets (M,)) with the mask applied.
     """
     assert config.output_k <= 255
-    predss, targets, masks = [], [], []
+    # the relevancy mask is applied PER BATCH (the reference masks once at
+    # the end, segmentation_eval.py:131-137 — same result): the host never
+    # holds more than one batch of irrelevant pixels, so COCO-scale evals
+    # (~1e8 pixels) accumulate only the masked survivors
+    predss, targets = [], []
     for imgs, flat_targets, mask in dataloader:
         x_outs = apply_fn(imgs)  # (H, bn, k, h, w)
         assert x_outs.shape[0] == config.num_sub_heads
         assert x_outs.shape[2] == config.output_k
+        m = np.asarray(mask).reshape(-1).astype(bool)
         preds = np.asarray(x_outs.argmax(axis=2))  # (H, bn, h, w)
-        predss.append(preds.reshape(preds.shape[0], -1))
-        targets.append(np.asarray(flat_targets).reshape(-1))
-        masks.append(np.asarray(mask).reshape(-1).astype(bool))
+        predss.append(preds.reshape(preds.shape[0], -1)[:, m]
+                      .astype(np.int32))
+        targets.append(np.asarray(flat_targets).reshape(-1)[m]
+                       .astype(np.int32))
     flat_predss = np.concatenate(predss, axis=1)
     flat_targets = np.concatenate(targets)
-    mask_all = np.concatenate(masks)
-    flat_predss = flat_predss[:, mask_all].astype(np.int32)
-    flat_targets = flat_targets[mask_all].astype(np.int32)
     return flat_predss, flat_targets
 
 

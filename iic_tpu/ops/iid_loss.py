@@ -28,7 +28,7 @@ EPS = sys.float_info.epsilon
 _EPS_DEFAULT = EPS  # the fused pallas kernel hard-codes this value
 
 
-def compute_joint(x_out, x_tf_out, axis_name=None):
+def compute_joint(x_out, x_tf_out, axis_name=None, weights=None):
     """Joint distribution P (k x k) from paired softmax outputs.
 
     Reference semantics (code/utils/cluster/IID_losses.py:36-47): sum of outer
@@ -39,6 +39,11 @@ def compute_joint(x_out, x_tf_out, axis_name=None):
       x_tf_out: (bn, k) softmax outputs for transformed copies.
       axis_name: optional mesh axis to psum the unnormalised joint over,
         giving the global-batch joint when batch is sharded.
+      weights: optional (bn,) per-sample weights. The joint becomes
+        sum_b w_b * z_b (x) z'_b, normalised by its own sum — all-ones is
+        bit-identical to unweighted. Used by the multi-host trainers to
+        PAD ragged final batches to the mesh multiple and mask the padding
+        out of the estimator exactly (VERDICT r2 #7).
 
     Returns:
       (k, k) joint probability matrix, float32.
@@ -46,9 +51,13 @@ def compute_joint(x_out, x_tf_out, axis_name=None):
     bn, k = x_out.shape
     assert x_tf_out.shape == (bn, k)
 
+    x_out = x_out.astype(jnp.float32)
+    if weights is not None:
+        assert weights.shape == (bn,), (weights.shape, bn)
+        x_out = x_out * weights.astype(jnp.float32)[:, None]
     # f32 accumulation regardless of activation dtype (bf16 trunks).
     p_i_j = jnp.dot(
-        x_out.T.astype(jnp.float32),
+        x_out.T,
         x_tf_out.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -85,11 +94,13 @@ def iid_loss_from_joint(p_i_j, lamb=1.0, eps=EPS):
 
 
 def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None,
-             impl="xla"):
+             impl="xla", weights=None):
     """IID clustering loss. Mirrors reference ``IID_loss``
     (code/utils/cluster/IID_losses.py:6): returns ``(loss, loss_no_lamb)``.
 
     ``x_out``/``x_tf_out`` are (bn, k) and must already have softmax applied.
+    ``weights`` (bn,) optionally masks samples out of the joint exactly
+    (see compute_joint) — padded multi-host batches.
 
     impl="pallas" routes through the fused single-pass TPU kernel
     (iic_tpu.ops.pallas.iid_loss_kernel) — identical numerics, joint and
@@ -104,9 +115,11 @@ def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None,
         assert EPS == _EPS_DEFAULT, (
             "the fused kernel hard-codes machine epsilon; pass impl='xla' "
             "for a custom EPS")
+        assert weights is None, "weighted loss is xla-only"
         from iic_tpu.ops.pallas import iid_loss_fused
         return iid_loss_fused(x_out, x_tf_out, lamb)
-    p_i_j = compute_joint(x_out, x_tf_out, axis_name=axis_name)
+    p_i_j = compute_joint(x_out, x_tf_out, axis_name=axis_name,
+                          weights=weights)
     return iid_loss_from_joint(p_i_j, lamb=lamb, eps=EPS)
 
 

@@ -92,10 +92,13 @@ def make_sharded_eval(apply_raw, variables, mesh):
     — identical numerics to the unsharded forward). Ragged final eval
     batches pad to the mesh multiple, then slice.
 
-    Single-process only: device_put to a sharding spanning another
-    process's devices is not possible; multi-host callers keep the
-    local unsharded forward."""
-    assert jax.process_count() == 1, "sharded eval is single-process"
+    Multi-host: every process holds the full eval batch (the mapping
+    loaders load the whole set on each host), so each process slices its
+    contiguous block, the global array is assembled process-locally, the
+    forward runs over the whole DCN+ICI mesh, and the outputs come back
+    REPLICATED (jit's out_shardings inserts the all-gather) — every
+    process returns the identical full (H, bn, k, ...) host array, so the
+    downstream host-side Hungarian/eval code is process-agnostic."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     import jax.numpy as jnp
@@ -103,13 +106,36 @@ def make_sharded_eval(apply_raw, variables, mesh):
     sharding = NamedSharding(mesh, P("data"))
     n_dev = mesh.size
 
-    def apply_sharded(imgs):
+    if jax.process_count() == 1:
+        def apply_sharded(imgs):
+            b = imgs.shape[0]
+            pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
+            if pad:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
+            out = apply_raw(variables, jax.device_put(imgs, sharding))
+            return out[:, :b] if pad else out
+
+        return apply_sharded
+
+    pi, pc = jax.process_index(), jax.process_count()
+    replicated = NamedSharding(mesh, P())
+    gvars = make_replicator(mesh)(
+        jax.tree_util.tree_map(np.asarray, variables))
+    apply_repl = jax.jit(lambda v, x: apply_raw(v, x),
+                         out_shardings=replicated)
+
+    def apply_sharded_mh(imgs):
+        imgs = np.asarray(imgs)
         b = imgs.shape[0]
-        pad = (-b) % n_dev  # ragged final eval batch: pad, then slice
+        pad = (-b) % n_dev
         if pad:
-            imgs = jnp.concatenate(
-                [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
-        out = apply_raw(variables, jax.device_put(imgs, sharding))
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        shard = imgs.shape[0] // pc
+        garr = jax.make_array_from_process_local_data(
+            sharding, imgs[pi * shard:(pi + 1) * shard])
+        out = np.asarray(apply_repl(gvars, garr))
         return out[:, :b] if pad else out
 
-    return apply_sharded
+    return apply_sharded_mh

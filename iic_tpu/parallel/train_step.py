@@ -83,7 +83,8 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                             sobel=False, include_rgb=False,
                             mesh=None, axis_name="data",
                             joint_mode="global", loss_impl="xla",
-                            fused_pair_forward=False, epoch_scan=False):
+                            fused_pair_forward=False, epoch_scan=False,
+                            weighted=False):
     """Build the jitted clustering train step for one head.
 
     step(state, base_u8 (b, H, W, C) uint8, key) ->
@@ -98,11 +99,28 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
     fewer launches / larger matmuls; BN batch statistics are then
     computed over the union of both views (the reference computes them
     per view), so it is a documented opt-in deviation.
+
+    ``weighted=True``: the batch is a tuple (base_u8, weights (b,)) and
+    the joint masks zero-weight samples out exactly — the multi-host
+    trainers pad ragged final batches to the full batch size and weight
+    the padding 0, so sample counts match the reference without dropping
+    (VERDICT r2 #7). Requires the global-joint mode (a parity-mode shard
+    consisting entirely of padding would normalise a zero joint). BN
+    batch statistics do still see the padded rows — the one documented
+    deviation, confined to the final batch of an epoch.
     """
     if loss_impl == "pallas":
         assert mesh is None, "fused kernel is per-shard; use xla with mesh"
+    if weighted:
+        assert joint_mode == "global", (
+            "weighted (padded-batch) steps need joint_mode='global'")
+        assert not epoch_scan, "epoch_scan pipelines are single-process"
 
-    def step_fn(state, base_u8, key, axis):
+    def step_fn(state, batch, key, axis):
+        if weighted:
+            base_u8, base_weights = batch
+        else:
+            base_u8, base_weights = batch, None
         if axis is not None:
             # decorrelate augmentation draws across shards
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -133,8 +151,14 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
                 losses = jnp.stack([p[0] for p in pairs])
                 losses_nl = jnp.stack([p[1] for p in pairs])
             else:
+                if base_weights is not None:
+                    # augment_pair tiles the base batch r times block-wise
+                    w = jnp.tile(base_weights,
+                                 out.shape[1] // base_u8.shape[0])
+                else:
+                    w = None
                 losses, losses_nl = jax.vmap(
-                    lambda a, b: IID_loss(a, b, lamb=lamb,
+                    lambda a, b: IID_loss(a, b, lamb=lamb, weights=w,
                                           axis_name=axis if joint_mode ==
                                           "global" else None)
                 )(out, out_tf)
@@ -157,7 +181,8 @@ def make_cluster_train_step(net, tx, augment_pair, lamb, head,
 
     if epoch_scan:
         return _wrap_epoch_scan(step_fn, mesh, axis_name)
-    return _wrap(step_fn, mesh, axis_name)
+    return _wrap(step_fn, mesh, axis_name,
+                 batch_arity=2 if weighted else 0)
 
 
 def make_seg_train_step(net, tx, lamb, head, half_T_side_dense,

@@ -142,10 +142,23 @@ def adjust_batch_for_mesh(config):
 
 def mesh_drop_last(config, use_mesh):
     """Pipelines must drop ragged batches only where the trainer cannot
-    handle them: multi-host shards, or cross-shard-BN nets (which cannot
-    run outside shard_map)."""
+    handle them exactly:
+
+    - single-process + cross-shard-BN nets (the unsharded ragged-fallback
+      step cannot run a psum-BN program);
+    - multi-host + parity joint mode (a padded batch can leave a shard
+      that is ALL padding, whose per-shard joint would normalise zero).
+
+    Everywhere else ragged final batches are kept: single-process meshes
+    run them through the unsharded fallback step; multi-host pipelines PAD
+    them to the full batch and mask the padding out of the loss exactly
+    (weighted cluster joint / zeroed seg relevancy masks)."""
     import jax as _jax
-    return use_mesh and (_jax.process_count() > 1 or bool(config.bn_sync))
+    if not use_mesh:
+        return False
+    if _jax.process_count() > 1:
+        return getattr(config, "joint_mode", "global") == "parity"
+    return bool(config.bn_sync)
 
 
 def make_ragged_fallback(make_step, full_batch_size, mesh, config):
@@ -195,7 +208,7 @@ def make_eval_apply(net, state, config, head="B", train_mode=False,
                               include_rgb=config.include_rgb,
                               train_mode=train_mode)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if mesh is not None and jax.process_count() == 1:
+    if mesh is not None:
         from iic_tpu.parallel.mesh import make_sharded_eval
         return make_sharded_eval(apply_raw, variables, mesh)
     return lambda imgs: apply_raw(variables, imgs)
@@ -226,19 +239,25 @@ def train_cluster_twohead(config):
     lamb_b = getattr(config, "lamb_B", config.lamb)
     loss_impl = ("pallas" if getattr(config, "fused_loss", False)
                  and mesh is None else "xla")
+    # multi-host pipelines yield ((batch_shard, weights_shard), key): the
+    # weighted step masks padded ragged-batch rows out of the joint exactly
+    # (parity mode instead drops ragged batches — mesh_drop_last — and the
+    # all-ones weights are discarded in the loop)
+    weighted = (mesh is not None and jax.process_count() > 1
+                and config.joint_mode == "global")
     steps = {
         "A": make_cluster_train_step(
             net, tx, pipe_a.augment_pair, lamb=lamb_a, head="A",
             sobel=config.sobel, include_rgb=config.include_rgb,
             mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl,
             fused_pair_forward=getattr(config, "fused_pair_forward",
-                                       False)),
+                                       False), weighted=weighted),
         "B": make_cluster_train_step(
             net, tx, pipe_b.augment_pair, lamb=lamb_b, head="B",
             sobel=config.sobel, include_rgb=config.include_rgb,
             mesh=mesh, joint_mode=config.joint_mode, loss_impl=loss_impl,
             fused_pair_forward=getattr(config, "fused_pair_forward",
-                                       False)),
+                                       False), weighted=weighted),
     }
     pipes = {"A": pipe_a, "B": pipe_b}
     lambs = {"A": lamb_a, "B": lamb_b}
@@ -291,7 +310,7 @@ def train_cluster_twohead(config):
         sub_head = None
         if config.select_sub_head_on_loss:
             sub_head = _select_sub_head_on_loss(config, net, state, pipe_b,
-                                                lamb_b)
+                                                lamb_b, mesh=mesh)
         _pre_eval(config, net, state, map_assign, map_test, history,
                   sub_head, mesh=mesh)
 
@@ -315,13 +334,16 @@ def train_cluster_twohead(config):
             for _ in range(repeats):
                 for b_i, (base, key) in enumerate(
                         pipes[head].epoch(e_i, augmented=False)):
+                    if jax.process_count() > 1 and not weighted:
+                        base = base[0]  # parity: all-ones weights dropped
                     # size of the GLOBAL batch (multi-host pipelines yield
                     # per-process shards) — the ragged check compares it
                     # to the global dataloader_batch_sz
                     gbase = to_global(base)
+                    gsz = int((gbase[0] if weighted else gbase).shape[0])
                     state, loss, loss_nl = ragged[head](
                         steps[head], state, gbase,
-                        replicate(key), int(gbase.shape[0]))
+                        replicate(key), gsz)
                     loss, loss_nl = float(loss), float(loss_nl)
                     if not np.isfinite(loss):
                         _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -411,11 +433,15 @@ def train_cluster_single(config):
     to_global = make_batch_globalizer(mesh)
     replicate = make_replicator(mesh)
 
+    weighted = (mesh is not None and jax.process_count() > 1
+                and config.joint_mode == "global")
+
     def _make_step(step_mesh):
         return make_cluster_train_step(
             net, tx, pipe.augment_pair, lamb=config.lamb, head=None,
             sobel=config.sobel, include_rgb=config.include_rgb,
-            mesh=step_mesh, joint_mode=config.joint_mode)
+            mesh=step_mesh, joint_mode=config.joint_mode,
+            weighted=weighted and step_mesh is not None)
 
     step = _make_step(mesh)
     ragged = make_ragged_fallback(lambda: _make_step(None),
@@ -449,10 +475,12 @@ def train_cluster_single(config):
         avg_loss = avg_loss_nl = 0.0
         count = 0
         for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
+            if jax.process_count() > 1 and not weighted:
+                base = base[0]  # parity: all-ones weights dropped
             gbase = to_global(base)  # global batch size, not the shard's
             state, loss, loss_nl = ragged(
                 step, state, gbase, replicate(key),
-                int(gbase.shape[0]))
+                int((gbase[0] if weighted else gbase).shape[0]))
             loss, loss_nl = float(loss), float(loss_nl)
             if not np.isfinite(loss):
                 _log(f"Loss is NaN/inf ({loss}). Exiting.")
@@ -487,19 +515,45 @@ def train_cluster_single(config):
     return state, history
 
 
-def _select_sub_head_on_loss(config, net, state, pipe_b, lamb):
-    """Reference get_subhead_using_loss over head-B dataloaders."""
-    # iterates augmented batches, which multi-host pipelines cannot yield
-    # (they produce host-local shards) — single-process only for now
-    assert jax.process_count() == 1, (
-        "select_sub_head_on_loss is single-process; run it offline via "
-        "cli/analysis/print_sub_heads_eval on the saved run")
+def _select_sub_head_on_loss(config, net, state, pipe_b, lamb, mesh=None):
+    """Reference get_subhead_using_loss over head-B dataloaders.
+
+    Multi-host: each process feeds its unaugmented batch shard; the pair
+    augmentation, forward and per-sub-head weighted IID loss all run in
+    one jitted program over the global mesh (padded ragged rows are
+    0-weighted out of the joint), so the accumulated per-sub-head losses —
+    and the argmin — are identical on every process."""
     apply_raw = make_apply_fn(net, head="B", sobel=config.sobel,
                               include_rgb=config.include_rgb)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def pairs():
-        for imgs, imgs_tf in pipe_b.epoch(0, augmented=True):
-            yield apply_raw(variables, imgs), apply_raw(variables, imgs_tf)
+    if jax.process_count() == 1:
+        def pairs():
+            for imgs, imgs_tf in pipe_b.epoch(0, augmented=True):
+                yield (apply_raw(variables, imgs),
+                       apply_raw(variables, imgs_tf))
 
-    return get_subhead_using_loss(config, pairs(), lamb=lamb)
+        return get_subhead_using_loss(config, pairs(), lamb=lamb)
+
+    assert mesh is not None, "multi-host selection needs the global mesh"
+    from iic_tpu.ops.iid_loss import IID_loss
+    to_global = make_batch_globalizer(mesh)
+    replicate = make_replicator(mesh)
+    gvars = replicate(variables)
+
+    @jax.jit
+    def batch_losses(base, w, key):
+        imgs, imgs_tf = pipe_b.augment_pair(base, key)
+        out = apply_raw(gvars, imgs)        # (H, bn, k)
+        out_tf = apply_raw(gvars, imgs_tf)
+        wt = jnp.tile(w, out.shape[1] // base.shape[0])
+        losses, _ = jax.vmap(
+            lambda a, b: IID_loss(a, b, lamb=lamb, weights=wt))(out, out_tf)
+        return losses
+
+    loss_per_sub_head = np.zeros(config.num_sub_heads)
+    for (base, w), key in pipe_b.epoch(0, augmented=False):
+        losses = batch_losses(to_global(np.asarray(base)),
+                              to_global(np.asarray(w)), replicate(key))
+        loss_per_sub_head += np.asarray(losses)
+    return int(np.argmin(loss_per_sub_head))

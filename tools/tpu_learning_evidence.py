@@ -92,6 +92,72 @@ def run_semisup():
     return result
 
 
+def run_nuisance_probe():
+    """Harder semisup probe (VERDICT r2 #8): real digits with STRONG
+    static nuisance (per-image translation over an 8 px margin, rotation
+    +-30 deg, contrast x[0.5, 1] — data/readers.py:load_digits_nuisance).
+    The nuisance family is what the paper's MNIST tf2 marginalises over,
+    so the IIC-pretrained trunk should produce nuisance-invariant digit
+    features while a FROZEN RANDOM trunk's spatially-flattened features
+    entangle nuisance with class. Discriminating row: 5%-label SupHead5
+    finetune with the trunk FROZEN (trunk_lr 0) — IIC trunk must beat the
+    random trunk clearly (on plain centred Digits it did not: 0.912 vs
+    0.919, VALIDATION.md)."""
+    from iic_tpu.train.config import ClusterConfig, SemisupConfig
+    from iic_tpu.train import train_cluster_single
+    from iic_tpu.train.cluster_trainer import build_net_and_state
+    from iic_tpu.train.semisup_trainer import train_semisup
+    from iic_tpu.train import checkpoint as ckpt
+
+    def cluster_cfg(model_ind, num_epochs):
+        cfg = ClusterConfig(
+            model_ind=model_ind, arch="ClusterNet6c", mode="IID+",
+            dataset="DigitsNuisance", dataset_root="", gt_k=10,
+            output_k=50, lr=1e-4, num_epochs=num_epochs, batch_sz=300,
+            num_dataloaders=3, num_sub_heads=1, out_root=OUT,
+            crop_orig=True, crop_other=True, tf1_crop="centre",
+            tf1_crop_sz=24, tf2_crop="random", tf2_crop_szs=(20, 24, 28),
+            input_sz=24, rot_val=25.0, no_flip=True,
+            batchnorm_track=True, save_freq=10)
+        cfg.finalize(twohead=False, sobel=False)
+        return cfg
+
+    # 1. IIC IID+ overclustering pretrain on the nuisance digits
+    old_cfg = cluster_cfg(930, num_epochs=120)
+    _, old_history = train_cluster_single(old_cfg)
+    over_accs = [float(a) for a in old_history["eval"].epoch_acc]
+
+    # 2. random-trunk control: an identical run dir whose best checkpoint
+    # is the untrained random init
+    rand_cfg = cluster_cfg(931, num_epochs=120)
+    _, _, rand_state = build_net_and_state(rand_cfg)
+    ckpt.save_checkpoint(rand_cfg, rand_state, {}, name="best",
+                         last_epoch=0)
+
+    # 3. SupHead5 finetunes: 5% labels (75 imgs), trunk FROZEN
+    fin = {}
+    for tag, old_ind, new_ind in (("iic", 930, 932), ("random", 931, 933)):
+        cfg = SemisupConfig(
+            model_ind=new_ind, old_model_ind=old_ind, head_lr=1e-3,
+            trunk_lr=0.0, num_epochs=60, out_root=OUT, contiguous_sz=10,
+            train_label_pc=0.05)
+        cfg.finalize()
+        _, history = train_semisup(cfg)
+        fin[tag] = max(float(a) for a in history["epoch_acc"])
+
+    result = {
+        "experiment": "nuisance-digits semisup probe: 5%-label frozen-"
+                      "trunk SupHead5, IIC trunk vs random trunk",
+        "chance": 0.1,
+        "overclustering_best_mapped_acc": max(over_accs),
+        "frozen_iic_trunk_5pc": fin["iic"],
+        "frozen_random_trunk_5pc": fin["random"],
+        "iic_beats_random_by": fin["iic"] - fin["random"],
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def run_digits_baselines():
     """Classical unsupervised baselines on the same real digits data the
     IIC Digits run trains on (all 1797 images), Hungarian-matched with our
@@ -136,5 +202,7 @@ if __name__ == "__main__":
         results.append(run_semisup())
     if which in ("all", "digits_baselines"):
         results.append(run_digits_baselines())
+    if which in ("all", "nuisance_probe"):
+        results.append(run_nuisance_probe())
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)

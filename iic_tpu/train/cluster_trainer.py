@@ -161,6 +161,22 @@ def mesh_drop_last(config, use_mesh):
     return bool(config.bn_sync)
 
 
+def host_prefetch_iter(gen, config):
+    """Wrap an epoch generator in the background prefetch thread (see
+    data/prefetch.py): host prep + upload for batches i+1/i+2 overlap the
+    consumer's dispatch/wait on batch i — the bench's measured end-to-end
+    win. Pass-through on pods (shards are assembled per step by the
+    globalizer), in resident mode (no per-step host work to hide) and
+    under --no_host_prefetch."""
+    import jax as _jax
+    if (_jax.process_count() > 1
+            or getattr(config, "resident_data", False)
+            or getattr(config, "no_host_prefetch", False)):
+        return gen
+    from iic_tpu.data.prefetch import ThreadedPrefetch
+    return ThreadedPrefetch(gen, depth=2)
+
+
 def make_ragged_fallback(make_step, full_batch_size, mesh, config):
     """Wrap a sharded step so a ragged final batch (reference
     cluster_sobel_twohead.py:310-315 keeps and slices partial batches)
@@ -332,8 +348,9 @@ def train_cluster_twohead(config):
                     head_epochs[head])
             repeats = 0 if scan_runners is not None else head_epochs[head]
             for _ in range(repeats):
-                for b_i, (base, key) in enumerate(
-                        pipes[head].epoch(e_i, augmented=False)):
+                it = host_prefetch_iter(
+                    pipes[head].epoch(e_i, augmented=False), config)
+                for b_i, (base, key) in enumerate(it):
                     if jax.process_count() > 1 and not weighted:
                         base = base[0]  # parity: all-ones weights dropped
                     # size of the GLOBAL batch (multi-host pipelines yield
@@ -356,6 +373,8 @@ def train_cluster_twohead(config):
                              f"{datetime.now()}")
                     if config.test_code and b_i >= 1:
                         break
+                if hasattr(it, "close"):
+                    it.close()  # early-exit safe; no-op when exhausted
             history[f"epoch_loss_head_{head}"].append(avg_loss / count)
             history[f"epoch_loss_no_lamb_head_{head}"].append(
                 avg_loss_nl / count)
@@ -474,7 +493,8 @@ def train_cluster_single(config):
 
         avg_loss = avg_loss_nl = 0.0
         count = 0
-        for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
+        it = host_prefetch_iter(pipe.epoch(e_i, augmented=False), config)
+        for b_i, (base, key) in enumerate(it):
             if jax.process_count() > 1 and not weighted:
                 base = base[0]  # parity: all-ones weights dropped
             gbase = to_global(base)  # global batch size, not the shard's
@@ -490,6 +510,8 @@ def train_cluster_single(config):
             count += 1
             if config.test_code and b_i >= 1:
                 break
+        if hasattr(it, "close"):
+            it.close()  # early-exit safe; no-op when exhausted
         history["epoch_loss_head_B"].append(avg_loss / count)
         history["epoch_loss_no_lamb_head_B"].append(avg_loss_nl / count)
 

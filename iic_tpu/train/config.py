@@ -89,6 +89,7 @@ class ClusterConfig:
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; gather on device
     epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
+    no_host_prefetch: bool = False  # disable the background prefetch thread
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)
@@ -209,6 +210,7 @@ class SegConfig:
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; crop on device
     epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
+    no_host_prefetch: bool = False  # disable the background prefetch thread
 
     # derived
     twohead: bool = True

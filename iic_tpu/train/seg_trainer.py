@@ -24,8 +24,8 @@ from iic_tpu.parallel.mesh import (make_batch_globalizer,
 from iic_tpu.train import checkpoint as ckpt
 from iic_tpu.train.cluster_trainer import (
     _make_history, _save_plots, _truncate_history, adjust_batch_for_mesh,
-    make_optimizer, make_ragged_fallback, mesh_drop_last, run_epoch_scan,
-    set_lr_mult)
+    host_prefetch_iter, make_optimizer, make_ragged_fallback,
+    mesh_drop_last, run_epoch_scan, set_lr_mult)
 from iic_tpu.train.config import config_to_str
 
 
@@ -161,8 +161,9 @@ def train_segmentation_twohead(config):
                     head_epochs[head])
             repeats = 0 if scan_runners is not None else head_epochs[head]
             for _ in range(repeats):
-                for b_i, (imgs, masks, key) in enumerate(
-                        pipe.epoch(e_i, augmented=False)):
+                it = host_prefetch_iter(
+                    pipe.epoch(e_i, augmented=False), config)
+                for b_i, (imgs, masks, key) in enumerate(it):
                     # global batch size, not the per-process shard's
                     gimgs, gmasks = to_global((imgs, masks))
                     state, loss, loss_nl = ragged[head](
@@ -180,6 +181,8 @@ def train_segmentation_twohead(config):
                              f"{datetime.now()}")
                     if config.test_code and b_i >= 1:
                         break
+                if hasattr(it, "close"):
+                    it.close()  # early-exit safe; no-op when exhausted
             history[f"epoch_loss_head_{head}"].append(avg_loss / count)
             history[f"epoch_loss_no_lamb_head_{head}"].append(
                 avg_loss_nl / count)
@@ -278,8 +281,8 @@ def train_segmentation_single(config):
 
         avg_loss = avg_loss_nl = 0.0
         count = 0
-        for b_i, (imgs, masks, key) in enumerate(
-                pipe.epoch(e_i, augmented=False)):
+        it = host_prefetch_iter(pipe.epoch(e_i, augmented=False), config)
+        for b_i, (imgs, masks, key) in enumerate(it):
             gimgs, gmasks = to_global((imgs, masks))  # global batch size
             state, loss, loss_nl = ragged(
                 step, state, (gimgs, gmasks), replicate(key),
@@ -293,6 +296,8 @@ def train_segmentation_single(config):
             count += 1
             if config.test_code and b_i >= 1:
                 break
+        if hasattr(it, "close"):
+            it.close()  # early-exit safe; no-op when exhausted
         history["epoch_loss_head_B"].append(avg_loss / count)
         history["epoch_loss_no_lamb_head_B"].append(avg_loss_nl / count)
 

@@ -30,7 +30,8 @@ from iic_tpu.models.semisup import SupHead5Head
 from iic_tpu.ops.sobel import sobel_process
 from iic_tpu.parallel.train_step import TrainState
 from iic_tpu.train import checkpoint as ckpt
-from iic_tpu.train.cluster_trainer import build_net_and_state
+from iic_tpu.train.cluster_trainer import (build_net_and_state,
+                                           host_prefetch_iter)
 from iic_tpu.train.config import ClusterConfig, config_to_str
 
 
@@ -286,7 +287,8 @@ def train_semisup(config):
 
         avg_loss = 0.0
         count = 0
-        for b_i, (imgs, labels, key) in enumerate(train_loader.epoch(e_i)):
+        it = host_prefetch_iter(train_loader.epoch(e_i), config)
+        for b_i, (imgs, labels, key) in enumerate(it):
             state, loss = train_step(state, imgs, labels, key)
             loss = float(loss)
             if not np.isfinite(loss):
@@ -299,6 +301,8 @@ def train_semisup(config):
                      f"{datetime.now()}")
             if config.test_code and b_i >= 1:
                 break
+        if hasattr(it, "close"):
+            it.close()  # early-exit safe; no-op when exhausted
         avg_loss /= count
 
         acc = assess_acc_block(

@@ -25,7 +25,8 @@ from iic_tpu.ops.sobel import sobel_process
 from iic_tpu.parallel import create_train_state
 from iic_tpu.parallel.train_step import TrainState
 from iic_tpu.train import checkpoint as ckpt
-from iic_tpu.train.cluster_trainer import make_optimizer
+from iic_tpu.train.cluster_trainer import (host_prefetch_iter,
+                                           make_optimizer)
 from iic_tpu.train.config import config_to_str
 
 
@@ -181,7 +182,8 @@ def train_triplets(config):
         neg_order = neg_rng.permutation(n)
         avg_loss = 0.0
         count = 0
-        for b_i, (base, key) in enumerate(pipe.epoch(e_i, augmented=False)):
+        it = host_prefetch_iter(pipe.epoch(e_i, augmented=False), config)
+        for b_i, (base, key) in enumerate(it):
             neg_idx = neg_order[b_i * bsz:b_i * bsz + base.shape[0]]
             # resident mode: batches are index arrays; the negative is a
             # shuffled index batch gathered on device by augment_pair
@@ -196,6 +198,8 @@ def train_triplets(config):
             count += 1
             if config.test_code and b_i >= 1:
                 break
+        if hasattr(it, "close"):
+            it.close()  # early-exit safe; no-op when exhausted
         history["epoch_loss"].append(avg_loss / count)
 
         kf = getattr(config, "kmeans_on_features", False)

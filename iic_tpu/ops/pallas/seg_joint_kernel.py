@@ -112,16 +112,16 @@ def _joint_kernel(x1a_ref, x1b_ref, x2_ref, out_ref, win, a_ref, b_ref, acc,
         b_ref[u * k:(u + 1) * k] = x2_ref[
             0, :, pl.ds(r0 + 2 * half - u, _RB), :].astype(b_ref.dtype)
 
-    # One MXU pass per contraction row: (kT, 128) @ (128, kT). (Mosaic's
-    # tpu.matmul supports a single contracting dim only; the rank-3
-    # dgrad trick below does not apply — the contraction here spans
-    # (rb, q), two dims.)
-    for rb in range(_RB):
-        acc[:] += jax.lax.dot_general(
-            a_ref[:, rb, :], b_ref[:, rb, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # ONE wide MXU pass per tile: flatten the (rb, q) contraction pair into
+    # a single 1024-lane contracting dim (row-major reshape keeps the sum
+    # order identical). Mosaic's tpu.matmul takes a single contracting dim
+    # only — the rank-2 reshape is how the two-dim contraction lowers.
+    acc[:] += jax.lax.dot_general(
+        a_ref[:].reshape(a_ref.shape[0], _RB * _WL),
+        b_ref[:].reshape(b_ref.shape[0], _RB * _WL),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(last)
     def _():
@@ -207,14 +207,15 @@ def _dgrad_kernel(g_ref, oth_ref, dx_ref, b_ref, da_ref, dxl,
         b_ref[u * k:(u + 1) * k] = oth_ref[
             0, :, pl.ds(r0 + 2 * half - u, _RB), :].astype(b_ref.dtype)
 
-    # ONE rank-3 dot per tile: (kT, kT) @ (kT, RB, 128) contracting the
-    # leading kT — Mosaic lowers it without the per-rb sublane gather
-    # that a (kT, 128)-slice loop pays (measured 17 -> 9 ms per call).
+    # ONE wide MXU pass per tile: (kT, kT) @ (kT, RB*128) with the B stack's
+    # (rb, q) pair flattened to a single 1024-lane dim (row-major reshape,
+    # same element order), reshaped back afterwards. Faster than both the
+    # per-rb slice loop (17 ms/call) and the rank-3 dot (9 ms/call).
     da_ref[:] = jax.lax.dot_general(
-        g_ref[:], b_ref[:],
+        g_ref[:], b_ref[:].reshape(b_ref.shape[0], _RB * _WL),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(da_ref.dtype)
+    ).reshape(da_ref.shape).astype(da_ref.dtype)
 
     dxl[:] = jnp.zeros_like(dxl)
     for v in range(t):

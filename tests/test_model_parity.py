@@ -25,7 +25,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from iic_tpu.models import (  # noqa: E402
-    cluster_nets, init_variables, segmentation_nets)
+    cluster_nets, init_variables, segmentation_nets, semisup)
 from iic_tpu.ops.iid_loss import EPS  # noqa: E402
 from iic_tpu.parallel.train_step import (  # noqa: E402
     create_train_state, make_cluster_train_step)
@@ -209,6 +209,34 @@ def test_net10a_twohead_forward_parity():
                       _torch_forward(tnet, x, True, head=head))
 
 
+# -------------------------------------------------------------- SupHead5
+
+def test_suphead5_forward_parity():
+    """Semisup finetune head (code/archs/semisup/sup_head5.py:8-37):
+    Linear -> BatchNorm1d -> ReLU -> Linear, both BN modes."""
+    rng = np.random.default_rng(10)
+    dlen, gt_k, b = 64, 10, 8
+    feats = rng.standard_normal((b, dlen)).astype(np.float32)
+    head = semisup.SupHead5Head(gt_k=gt_k)
+    variables = head.init(jax.random.PRNGKey(10), jnp.asarray(feats))
+    thead = tw.TorchSupHead5(dlen, gt_k, track=True)
+    tw.transplant_sup_head(variables, thead)
+    # eval first: torch train-mode forwards update running stats in place
+    for train in (False, True):
+        v = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+        if train:
+            out, _ = head.apply(v, jnp.asarray(feats), train=True,
+                                mutable=["batch_stats"])
+        else:
+            out = head.apply(v, jnp.asarray(feats), train=False)
+        thead.train(train)
+        with torch.no_grad():
+            tout = thead(torch.from_numpy(feats)).numpy()
+        np.testing.assert_allclose(np.asarray(out), tout,
+                                   atol=3e-5, rtol=1e-4)
+
+
 # ------------------------------------------------------ lockstep training
 
 def _torch_iid_loss(x_out, x_tf_out, lamb=1.0):
@@ -227,13 +255,10 @@ def _torch_iid_loss(x_out, x_tf_out, lamb=1.0):
                   - lamb * torch.log(p_i))).sum()
 
 
-@pytest.mark.slow  # ~5 min on the 1-CPU host (40 paired fwd+bwd steps x2)
-@pytest.mark.parametrize("num_sub_heads", [2])
-def test_lockstep_training_trajectory(num_sub_heads):
-    """Transplanted init + identical pre-augmented batches + Adam: the torch
-    reference loop (cluster_sobel_twohead.py:286-355 semantics) and our
-    fused train step must produce tracking loss curves."""
-    steps, b, k, lr = 40, 32, 10, 1e-3
+def run_cluster_lockstep(num_sub_heads=2, steps=40):
+    """Shared by the test below and tools/lockstep_table.py (the
+    VALIDATION.md trajectory table). Returns (jax_losses, torch_losses)."""
+    b, k, lr = 32, 10, 1e-3
     rng = np.random.default_rng(8)
     # pre-generated "augmentation" pairs: view 2 = view 1 + small noise
     base = rng.standard_normal((steps, b, 1, 24, 24)).astype(np.float32)
@@ -275,8 +300,16 @@ def test_lockstep_training_trajectory(num_sub_heads):
         opt.step()
         torch_losses.append(float(loss))
 
-    jax_losses = np.asarray(jax_losses)
-    torch_losses = np.asarray(torch_losses)
+    return np.asarray(jax_losses), np.asarray(torch_losses)
+
+
+@pytest.mark.slow  # ~5 min on the 1-CPU host (40 paired fwd+bwd steps x2)
+@pytest.mark.parametrize("num_sub_heads", [2])
+def test_lockstep_training_trajectory(num_sub_heads):
+    """Transplanted init + identical pre-augmented batches + Adam: the torch
+    reference loop (cluster_sobel_twohead.py:286-355 semantics) and our
+    fused train step must produce tracking loss curves."""
+    jax_losses, torch_losses = run_cluster_lockstep(num_sub_heads)
     # Phase 1 — lockstep window: the first steps must match to numerical
     # noise (a semantic difference — wrong Adam eps, BN momentum, loss
     # clamp order — shows up as a systematic offset from step 0; measured
@@ -294,3 +327,202 @@ def test_lockstep_training_trajectory(num_sub_heads):
         < 0.15, (jax_losses[-10:], torch_losses[-10:])
     assert jax_losses[-5:].mean() < -0.5
     assert torch_losses[-5:].mean() < -0.5
+
+
+def run_seg_lockstep(steps=24):
+    """Shared by the test below and tools/lockstep_table.py. Returns
+    (jax_losses, torch_losses)."""
+    from test_iid_seg_loss import _torch_seg_loss_tensor
+    from iic_tpu.parallel.train_step import make_seg_train_step
+
+    b, c, hw, k, ns, half_t, lr = 4, 4, 20, 5, 2, 1, 1e-3
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((steps, b, c, hw, hw)).astype(np.float32)
+    noise = 0.1 * rng.standard_normal(base.shape).astype(np.float32)
+    img1s, img2s = base, base + noise
+    # small random rotations (the geometry the reference records as
+    # affine2_to_1) + a mostly-on relevancy mask
+    angles = np.radians(rng.uniform(-10, 10, (steps, b)))
+    affs = np.zeros((steps, b, 2, 3), dtype=np.float32)
+    affs[..., 0, 0] = np.cos(angles)
+    affs[..., 0, 1] = -np.sin(angles)
+    affs[..., 1, 0] = np.sin(angles)
+    affs[..., 1, 1] = np.cos(angles)
+    masks = (rng.uniform(0, 1, (steps, b, hw, hw)) > 0.1).astype(np.float32)
+
+    net = segmentation_nets.SegmentationNet10a(
+        output_k=k, num_sub_heads=ns, input_sz=hw)
+    variables = net.init(jax.random.PRNGKey(9), jnp.asarray(img1s[0]))
+    tnet = tw.TorchNet10a(c, hw, k, ns, track=True)
+    tw.transplant_seg_net(variables, tnet, twohead=False)
+
+    # ---- jax side: fused seg step, exact torch-parity warp, collapsed loss
+    tx = optax.adam(lr)
+    step = make_seg_train_step(
+        net, tx, lamb=1.0, head=None, half_T_side_dense=half_t,
+        half_T_side_sparse_min=0, half_T_side_sparse_max=0,
+        warp_impl="gather", joint_impl="fft")
+    state = create_train_state(variables, tx)
+    jax_losses = []
+    for s in range(steps):
+        batch = (jnp.asarray(img1s[s]), jnp.asarray(img2s[s]),
+                 jnp.asarray(affs[s]), jnp.asarray(masks[s]))
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(s))
+        jax_losses.append(float(loss))
+
+    # ---- torch side: reference seg loop semantics
+    opt = torch.optim.Adam(tnet.parameters(), lr=lr)
+    tnet.train(True)
+    torch_losses = []
+    for s in range(steps):
+        x1_outs = tnet(torch.from_numpy(img1s[s]))
+        x2_outs = tnet(torch.from_numpy(img2s[s]))
+        aff_t = torch.from_numpy(affs[s])
+        mask_t = torch.from_numpy(masks[s])
+        loss = sum(
+            _torch_seg_loss_tensor(x1_outs[i], x2_outs[i], aff_t, mask_t,
+                                   1.0, half_t, collapsed=True)
+            for i in range(ns)) / ns
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    return np.asarray(jax_losses), np.asarray(torch_losses)
+
+
+@pytest.mark.slow  # ~2 min on the 1-CPU host (24 paired seg fwd+bwd x2)
+def test_seg_lockstep_training_trajectory():
+    """Segmentation-workload lockstep: transplanted net10a init + identical
+    (img1, img2, affine2_to_1, mask) batches + Adam, the torch reference
+    loop (segmentation_twohead.py:262-357 semantics: grid_sample inverse
+    warp -> mask -> conv2d displacement joint -> collapsed MI, sub-head
+    average) vs our fused ``make_seg_train_step`` with the exact gather
+    warp + box-filter joint. Ties the net10a forward parity, the
+    grid_sample-parity warp, the gradient-exact collapsed loss and the
+    optimiser into one end-to-end trajectory proof."""
+    jax_losses, torch_losses = run_seg_lockstep()
+    # Phase 1 — lockstep window (seg path carries more f32 noise than the
+    # cluster one: bilinear warp + per-pixel joint accumulation).
+    for s in range(5):
+        tol = 1e-3 * (1.0 + s)
+        assert abs(jax_losses[s] - torch_losses[s]) < tol, (
+            s, jax_losses[s], torch_losses[s],
+            jax_losses[: s + 1], torch_losses[: s + 1])
+    # Phase 2 — trajectory tracking beyond the chaos horizon.
+    assert abs(np.mean(jax_losses[-8:]) - np.mean(torch_losses[-8:])) \
+        < 0.15, (jax_losses[-8:], torch_losses[-8:])
+    assert jax_losses[-5:].mean() < jax_losses[0] - 0.02
+    assert torch_losses[-5:].mean() < torch_losses[0] - 0.02
+
+
+def run_semisup_lockstep(steps=10):
+    """Shared by the test below and tools/lockstep_table.py. The semisup
+    finetune loop (code/scripts/semisup/IID_semisup_STL10.py:227-256):
+    frozen-architecture trunk penultimate features -> SupHead5 ->
+    CrossEntropy, TWO Adam optimisers with different learning rates
+    (reference :183-190; here optax.multi_transform exactly as
+    train/semisup_trainer.py builds it). Returns (jax_losses,
+    torch_losses)."""
+    import optax as _optax
+
+    b, c, sz, gt_k = 8, 2, 32, 10
+    trunk_lr, head_lr = 1e-4, 1e-3
+    rng = np.random.default_rng(11)
+    imgs = rng.standard_normal((steps, b, c, sz, sz)).astype(np.float32)
+    labels = rng.integers(0, gt_k, (steps, b))
+
+    trunk = cluster_nets.ClusterNet5gTwoHead(
+        output_k_A=10, output_k_B=10, num_sub_heads=1, input_sz=sz)
+    variables = init_variables(trunk, jax.random.PRNGKey(11),
+                               jnp.asarray(imgs[0]))
+    tnet = tw.TorchNet5gTwoHead(c, sz, 10, 10, 1)
+    tw.transplant_cluster_net(variables, tnet, "ClusterNet5gTrunk_0",
+                              twohead=True)
+
+    feats0 = trunk.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(imgs[0]), train=False, trunk_features=True,
+        penultimate_features=True)
+    dlen = feats0.shape[-1]
+    head = semisup.SupHead5Head(gt_k=gt_k)
+    head_vars = head.init(jax.random.PRNGKey(12), jnp.zeros((2, dlen)))
+    thead = tw.TorchSupHead5(dlen, gt_k, track=True)
+    tw.transplant_sup_head(head_vars, thead)
+
+    # ---- jax side: composed trunk+head step, two Adams via multi_transform
+    params = {"trunk": variables["params"], "head": head_vars["params"]}
+    batch_stats = {"trunk": variables["batch_stats"],
+                   "head": head_vars.get("batch_stats", {})}
+    tx = _optax.multi_transform(
+        {"trunk": _optax.adam(trunk_lr), "head": _optax.adam(head_lr)},
+        {"trunk": "trunk", "head": "head"})
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, im, lab):
+        def loss_fn(p):
+            feats, upd = trunk.apply(
+                {"params": p["trunk"], "batch_stats": batch_stats["trunk"]},
+                im, train=True, trunk_features=True,
+                penultimate_features=True, mutable=["batch_stats"])
+            logits, hupd = head.apply(
+                {"params": p["head"], "batch_stats": batch_stats["head"]},
+                feats, train=True, mutable=["batch_stats"])
+            loss = _optax.softmax_cross_entropy_with_integer_labels(
+                logits, lab).mean()
+            return loss, {"trunk": upd["batch_stats"],
+                          "head": hupd["batch_stats"]}
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return _optax.apply_updates(params, updates), bs, new_opt, loss
+
+    jax_losses = []
+    for s in range(steps):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(imgs[s]),
+            jnp.asarray(labels[s]))
+        jax_losses.append(float(loss))
+
+    # ---- torch side: reference loop semantics (two optimisers)
+    opt_trunk = torch.optim.Adam(tnet.trunk.parameters(), lr=trunk_lr)
+    opt_head = torch.optim.Adam(thead.parameters(), lr=head_lr)
+    ce = torch.nn.CrossEntropyLoss()
+    tnet.train(True)
+    thead.train(True)
+    torch_losses = []
+    for s in range(steps):
+        feats = tnet.trunk(torch.from_numpy(imgs[s]),
+                           penultimate_features=True)
+        logits = thead(feats)
+        loss = ce(logits, torch.from_numpy(labels[s]))
+        opt_trunk.zero_grad()
+        opt_head.zero_grad()
+        loss.backward()
+        opt_trunk.step()
+        opt_head.step()
+        torch_losses.append(float(loss))
+
+    return np.asarray(jax_losses), np.asarray(torch_losses)
+
+
+@pytest.mark.slow  # ~2 min on the 1-CPU host (ResNet trunk fwd+bwd x2)
+def test_semisup_lockstep_training_trajectory():
+    """Third workload family lockstep: the SupHead5 finetune loop — trunk
+    penultimate features + Linear/BN1d/ReLU/Linear head + CrossEntropy +
+    dual Adam learning rates — vs the torch reference loop. The labels are
+    random (unlearnable), so the CE trajectory RISES as the head overshoots
+    — which makes tracking a stronger statement: both implementations must
+    follow the same arbitrary optimiser path, not merely both descend.
+    Measured drift: 9.5e-7 at step 0, ~3e-4 through step 3, 1.6e-2 at step
+    4 (the ~20-layer ResNet trunk amplifies f32 noise faster than net6c)."""
+    jax_losses, torch_losses = run_semisup_lockstep()
+    for s in range(4):
+        tol = 1e-3 * (1.0 + s)
+        assert abs(jax_losses[s] - torch_losses[s]) < tol, (
+            s, jax_losses[s], torch_losses[s])
+    assert abs(np.mean(jax_losses[-3:]) - np.mean(torch_losses[-3:])) \
+        < 0.05, (jax_losses, torch_losses)
+    assert np.isfinite(jax_losses).all() and np.isfinite(torch_losses).all()

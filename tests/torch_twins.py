@@ -302,3 +302,38 @@ def transplant_seg_net(variables, torch_net, twohead):
     else:
         transplant_conv_heads(params["MultiConvSoftmaxHead_0"],
                               torch_net.heads)
+
+
+class TorchSupHead5(nn.Module):
+    """SupHead5 finetune head twin (code/archs/semisup/sup_head5.py:8-37):
+    Linear(dlen, 2048) -> BatchNorm1d -> ReLU -> Linear(2048, gt_k), no
+    softmax. The trunk forward is composed by the caller, matching the
+    functional split in iic_tpu.models.semisup."""
+
+    def __init__(self, dlen, gt_k, track=True):
+        super().__init__()
+        self.lin1 = nn.Linear(dlen, 2048)
+        self.bn = nn.BatchNorm1d(2048, track_running_stats=track)
+        self.lin2 = nn.Linear(2048, gt_k)
+
+    def forward(self, feats):
+        return self.lin2(torch.relu(self.bn(self.lin1(feats))))
+
+
+def transplant_sup_head(head_vars, torch_head):
+    """SupHead5Head flax params (kernel1/bias1, BatchNorm_0, kernel2/bias2)
+    -> TorchSupHead5."""
+    params = head_vars["params"]
+    stats = head_vars.get("batch_stats", {})
+    with torch.no_grad():
+        torch_head.lin1.weight.copy_(_t(np.asarray(params["kernel1"]).T))
+        torch_head.lin1.bias.copy_(_t(params["bias1"]))
+        torch_head.lin2.weight.copy_(_t(np.asarray(params["kernel2"]).T))
+        torch_head.lin2.bias.copy_(_t(params["bias2"]))
+        bn_p = params["BatchNorm_0"]
+        torch_head.bn.weight.copy_(_t(bn_p["scale"]))
+        torch_head.bn.bias.copy_(_t(bn_p["bias"]))
+        bn_s = _lookup(stats, ("BatchNorm_0",))
+        if bn_s is not None and torch_head.bn.track_running_stats:
+            torch_head.bn.running_mean.copy_(_t(bn_s["mean"]))
+            torch_head.bn.running_var.copy_(_t(bn_s["var"]))

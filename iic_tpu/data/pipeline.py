@@ -38,8 +38,10 @@ def _is_greyscale(config):
 
 def _load_partitions(config, partitions):
     parts = []
+    lazy = getattr(config, "lazy_images", False)
     for p in partitions:
-        d = readers.load_dataset(config.dataset, config.dataset_root, p)
+        d = readers.load_dataset(config.dataset, config.dataset_root, p,
+                                 lazy=lazy)
         imgs, labels = d["images"], d["labels"]
         if (config.dataset == "STL10" and p == "train+unlabeled"
                 and getattr(config, "mix_train", False)):
@@ -47,7 +49,9 @@ def _load_partitions(config, partitions):
                 n_train=5000, per=len(imgs[5000:]) // 5000)
             imgs, labels = imgs[ids], labels[ids]
         parts.append((imgs, labels))
-    images = np.concatenate([p[0] for p in parts])
+    if len(parts) == 1:  # keeps a LazyImageArray lazy (ImageFolder's case)
+        return parts[0]
+    images = np.concatenate([np.asarray(p[0]) for p in parts])
     labels = np.concatenate([p[1] for p in parts])
     return images, labels
 
@@ -267,7 +271,10 @@ class MappingLoader:
             n = int(len(self.images) * truncate_pc)
             rng = np.random.default_rng(truncate_seed)
             idx = rng.permutation(len(self.images))[:n]
-            self.images, self.labels = self.images[idx], self.labels[idx]
+            self.images = (self.images.select(idx)  # stays decode-on-demand
+                           if hasattr(self.images, "select")
+                           else self.images[idx])
+            self.labels = self.labels[idx]
 
         if _is_greyscale(config):
             _, _, tf3 = make_greyscale_pair_transforms(config)

@@ -143,6 +143,116 @@ def load_stl10(root, split="train"):
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
 
 
+class LazyImageArray:
+    """Decode-on-demand view of an ImageFolder stack: holds file PATHS (not
+    pixels) and decodes per access, so image-folder datasets larger than
+    host RAM stream through the loaders batch by batch (``--lazy_images``;
+    the decode for batch i+1 runs on the loaders' prefetch thread while the
+    device works on batch i). Mimics the eager (n, h, w, 3) uint8 array for
+    every pipeline access pattern: ``len()``, ``.shape``/``.dtype``,
+    int / slice / fancy-index ``__getitem__`` (returns DECODED uint8 numpy),
+    ``np.asarray``/``np.ascontiguousarray`` (materialises the whole stack —
+    the resident-HBM path), and ``.select(idx)`` — a still-lazy reordered /
+    truncated view used by ``truncate_pc``."""
+
+    dtype = np.dtype(np.uint8)
+
+    def __init__(self, paths, target_hw):
+        self.paths = list(paths)
+        self.target_hw = (int(target_hw[0]), int(target_hw[1]))
+
+    @property
+    def shape(self):
+        return (len(self.paths),) + self.target_hw + (3,)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _decode(self, path):
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"undecodable image: {path}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if img.shape[:2] != self.target_hw:
+            img = cv2.resize(img, (self.target_hw[1], self.target_hw[0]),
+                             interpolation=cv2.INTER_LINEAR)
+        return img
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._decode(self.paths[idx])
+        if isinstance(idx, slice):
+            paths = self.paths[idx]
+        else:
+            paths = [self.paths[int(i)]
+                     for i in np.asarray(idx).reshape(-1)]
+        if not paths:
+            return np.zeros((0,) + self.target_hw + (3,), np.uint8)
+        return np.stack([self._decode(p) for p in paths])
+
+    def select(self, idx):
+        """Lazy re-index (truncation / reorder) — no decode."""
+        return LazyImageArray(
+            [self.paths[int(i)] for i in np.asarray(idx).reshape(-1)],
+            self.target_hw)
+
+    def __array__(self, dtype=None, copy=None):
+        out = self[np.arange(len(self.paths))]
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _scan_image_folder(root, subdir):
+    """(sorted class names, per-file paths, int32 labels) — the shared
+    directory scan of the eager and lazy ImageFolder loaders (torchvision
+    convention: one class per subfolder, both levels sorted)."""
+    base = os.path.join(root, subdir) if subdir else root
+    if not os.path.isdir(base):
+        raise FileNotFoundError(base)
+    classes = sorted(d for d in os.listdir(base)
+                     if os.path.isdir(os.path.join(base, d)))
+    if not classes:
+        raise FileNotFoundError(f"no class subfolders under {base}")
+    paths, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(base, cname)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(_IMG_EXTS):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(ci)
+    if not paths:
+        raise FileNotFoundError(f"no images under {base}")
+    return classes, paths, np.array(labels, np.int32)
+
+
+def load_image_folder_lazy(root, subdir):
+    """Lazy twin of ``load_image_folder``: probes each file's (h, w) from
+    its header only (PIL ``Image.open`` reads no pixel data), picks the
+    modal shape exactly like the eager loader, and returns a
+    ``LazyImageArray`` that decodes on access. Unreadable files are
+    dropped at scan time (the eager loader drops cv2-undecodable ones);
+    a file whose header parses but whose pixels don't raises at access."""
+    from PIL import Image
+
+    _, paths, labels = _scan_image_folder(root, subdir)
+    shapes, keep = [], []
+    for i, p in enumerate(paths):
+        try:
+            with Image.open(p) as im:
+                w, h = im.size
+        except Exception:
+            continue
+        shapes.append((h, w))
+        keep.append(i)
+    if not keep:
+        raise FileNotFoundError(f"no decodable images under "
+                                f"{os.path.join(root, subdir or '')}")
+    modal = max(set(shapes), key=shapes.count)
+    return {"images": LazyImageArray([paths[i] for i in keep], modal),
+            "labels": labels[keep]}
+
+
 def load_image_folder(root, subdir):
     """torchvision ImageFolder equivalent (reference
     code/utils/cluster/data.py:530-564 feeds ImageFolder(root/train) into
@@ -153,26 +263,17 @@ def load_image_folder(root, subdir):
     tf2 crops then sample from that common frame."""
     import cv2
 
-    base = os.path.join(root, subdir) if subdir else root
-    if not os.path.isdir(base):
-        raise FileNotFoundError(base)
-    classes = sorted(d for d in os.listdir(base)
-                     if os.path.isdir(os.path.join(base, d)))
-    if not classes:
-        raise FileNotFoundError(f"no class subfolders under {base}")
+    _, paths, all_labels = _scan_image_folder(root, subdir)
     imgs, labels = [], []
-    for ci, cname in enumerate(classes):
-        cdir = os.path.join(base, cname)
-        for fname in sorted(os.listdir(cdir)):
-            if not fname.lower().endswith(_IMG_EXTS):
-                continue
-            img = cv2.imread(os.path.join(cdir, fname), cv2.IMREAD_COLOR)
-            if img is None:
-                continue
-            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-            labels.append(ci)
+    for p, lab in zip(paths, all_labels):
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        labels.append(lab)
     if not imgs:
-        raise FileNotFoundError(f"no decodable images under {base}")
+        raise FileNotFoundError(f"no decodable images under "
+                                f"{os.path.join(root, subdir or '')}")
 
     shapes = [im.shape[:2] for im in imgs]
     if len(set(shapes)) > 1:
@@ -285,10 +386,12 @@ DATASET_LOADERS = {
 }
 
 
-def load_dataset(name, root, partition):
+def load_dataset(name, root, partition, lazy=False):
     """partition: bool (train/test) for MNIST/CIFAR, split string for STL10.
     name "Synthetic<K>x<SZ>x<C>[x<N>]" generates synthetic data (N = train
-    set size, default 2048; test split is N//4)."""
+    set size, default 2048; test split is N//4). ``lazy`` (ImageFolder
+    only): return a decode-on-demand ``LazyImageArray`` instead of the
+    whole decoded stack — see ``load_image_folder_lazy``."""
     if name.startswith("Synthetic"):
         fields = [int(v) for v in name[len("Synthetic"):].split("x")]
         k, sz, c = fields[:3]
@@ -299,5 +402,6 @@ def load_dataset(name, root, partition):
     if name == "ImageFolder":
         sub = partition if isinstance(partition, str) else (
             "train" if partition else "test")
-        return load_image_folder(root, sub)
+        return (load_image_folder_lazy(root, sub) if lazy
+                else load_image_folder(root, sub))
     return DATASET_LOADERS[name](root, partition)

@@ -88,6 +88,7 @@ class ClusterConfig:
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; gather on device
+    lazy_images: bool = False  # ImageFolder: decode per batch, not up front
     epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
     no_host_prefetch: bool = False  # disable the background prefetch thread
     kmeans_on_features: bool = False  # triplets baseline eval variant

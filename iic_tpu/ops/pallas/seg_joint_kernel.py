@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_RB = 8    # contraction row tile (sublanes)
+_RB = 16   # contraction row tile (sublanes)
 _WL = 128  # lane tile
 
 

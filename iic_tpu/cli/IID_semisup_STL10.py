@@ -17,6 +17,8 @@ def main(argv=None):
         elif isinstance(f.default, tuple):
             parser.add_argument(name, type=int, nargs="+",
                                 default=list(f.default))
+        elif f.default is None:
+            parser.add_argument(name, type=int, default=None)
         else:
             parser.add_argument(name, type=type(f.default),
                                 default=f.default)

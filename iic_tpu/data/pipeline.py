@@ -168,13 +168,24 @@ class ClusterTrainPipeline:
         return order, root
 
     def epoch(self, epoch_idx, augmented=True):
-        """Iterate deterministic sequential batches. ``augmented=False``
-        yields (base_uint8 device array, key) for fusion into a train step;
+        """Deterministic sequential batches. ``augmented=False`` yields
+        (base_uint8 device array, key) for fusion into a train step;
         otherwise yields the augmented pair.
 
         One-deep prefetch: batch i+1's host->device copy is issued
         (asynchronously) before batch i is yielded, overlapping upload with
-        the consumer's step (SURVEY.md §7 hard part #6)."""
+        the consumer's step (SURVEY.md §7 hard part #6). When the image
+        store is a decode-on-demand LazyImageArray, the whole generator
+        additionally moves onto a ThreadedPrefetch thread so per-batch
+        decode overlaps the consumer's step even for consumers that don't
+        wrap it in host_prefetch_iter themselves."""
+        gen = self._epoch_gen(epoch_idx, augmented)
+        if isinstance(self.images, readers.LazyImageArray):
+            from iic_tpu.data.prefetch import ThreadedPrefetch
+            return ThreadedPrefetch(gen, depth=2)
+        return gen
+
+    def _epoch_gen(self, epoch_idx, augmented):
         bsz = self.dataloader_batch_sz
         n = len(self.images)
         self.stage()

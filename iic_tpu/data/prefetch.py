@@ -42,6 +42,7 @@ class ThreadedPrefetch:
     def __init__(self, gen, depth=2):
         self._q = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(
             target=self._run, args=(gen,), daemon=True)
         self._thread.start()
@@ -62,15 +63,21 @@ class ThreadedPrefetch:
             self._q.put(e)
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is _DONE:
-                self._thread.join()
-                return
-            if isinstance(item, BaseException):
-                self._thread.join()
-                raise item
-            yield item
+        return self
+
+    def __next__(self):
+        if self._done:
+            raise StopIteration
+        item = self._q.get()
+        if item is _DONE:
+            self._done = True
+            self._thread.join()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self._done = True
+            self._thread.join()
+            raise item
+        return item
 
     def close(self):
         """Stop the worker and drop queued items (early-exit consumers)."""

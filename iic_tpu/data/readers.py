@@ -172,13 +172,26 @@ class LazyImageArray:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_COLOR)
-        if img is None:
-            raise IOError(f"undecodable image: {path}")
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if img is not None:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            # cv2-undecodable but PIL-openable (the scan kept it): decode
+            # via PIL with the same EXIF-orientation semantics cv2 applies,
+            # instead of raising mid-epoch.
+            img = _pil_decode_rgb(path)
+            if img is None:
+                raise IOError(f"undecodable image: {path}")
         if img.shape[:2] != self.target_hw:
             img = cv2.resize(img, (self.target_hw[1], self.target_hw[0]),
                              interpolation=cv2.INTER_LINEAR)
         return img
+
+    @staticmethod
+    def _as_index_list(idx):
+        arr = np.asarray(idx)
+        if arr.dtype == bool:  # boolean mask, not 0/1 integer indices
+            arr = np.flatnonzero(arr)
+        return arr.reshape(-1)
 
     def __getitem__(self, idx):
         if isinstance(idx, (int, np.integer)):
@@ -186,8 +199,7 @@ class LazyImageArray:
         if isinstance(idx, slice):
             paths = self.paths[idx]
         else:
-            paths = [self.paths[int(i)]
-                     for i in np.asarray(idx).reshape(-1)]
+            paths = [self.paths[int(i)] for i in self._as_index_list(idx)]
         if not paths:
             return np.zeros((0,) + self.target_hw + (3,), np.uint8)
         return np.stack([self._decode(p) for p in paths])
@@ -195,7 +207,7 @@ class LazyImageArray:
     def select(self, idx):
         """Lazy re-index (truncation / reorder) — no decode."""
         return LazyImageArray(
-            [self.paths[int(i)] for i in np.asarray(idx).reshape(-1)],
+            [self.paths[int(i)] for i in self._as_index_list(idx)],
             self.target_hw)
 
     def __array__(self, dtype=None, copy=None):
@@ -226,13 +238,36 @@ def _scan_image_folder(root, subdir):
     return classes, paths, np.array(labels, np.int32)
 
 
+def _pil_decode_rgb(path):
+    """PIL decode -> RGB uint8 (h, w, 3), applying EXIF orientation like
+    cv2.imread does. None when PIL can't decode either."""
+    try:
+        from PIL import Image, ImageOps
+
+        with Image.open(path) as im:
+            im = ImageOps.exif_transpose(im)
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+# EXIF Orientation values 5-8 rotate the raster by 90/270 degrees, so the
+# decoded image's (h, w) is the header size transposed.
+_EXIF_ORIENTATION_TAG = 0x0112
+_EXIF_TRANSPOSED = (5, 6, 7, 8)
+
+
 def load_image_folder_lazy(root, subdir):
     """Lazy twin of ``load_image_folder``: probes each file's (h, w) from
     its header only (PIL ``Image.open`` reads no pixel data), picks the
     modal shape exactly like the eager loader, and returns a
-    ``LazyImageArray`` that decodes on access. Unreadable files are
-    dropped at scan time (the eager loader drops cv2-undecodable ones);
-    a file whose header parses but whose pixels don't raises at access."""
+    ``LazyImageArray`` that decodes on access. The probe accounts for EXIF
+    orientation (cv2.imread auto-rotates, so orientations 5-8 swap the
+    decoded h/w vs the header size). Unreadable files are dropped at scan
+    time, as closely as a header probe can match the eager loader's
+    cv2-decode keep decision; a PIL-openable file whose pixels cv2 can't
+    decode falls back to a PIL decode at access time (never raises for a
+    file both libraries reject only at pixel level)."""
     from PIL import Image
 
     _, paths, labels = _scan_image_folder(root, subdir)
@@ -241,6 +276,12 @@ def load_image_folder_lazy(root, subdir):
         try:
             with Image.open(p) as im:
                 w, h = im.size
+                try:
+                    orientation = im.getexif().get(_EXIF_ORIENTATION_TAG)
+                except Exception:
+                    orientation = None
+                if orientation in _EXIF_TRANSPOSED:
+                    h, w = w, h
         except Exception:
             continue
         shapes.append((h, w))
@@ -267,9 +308,17 @@ def load_image_folder(root, subdir):
     imgs, labels = [], []
     for p, lab in zip(paths, all_labels):
         img = cv2.imread(p, cv2.IMREAD_COLOR)
-        if img is None:
-            continue
-        imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        if img is not None:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            # keep-decision parity with the lazy loader: fall back to PIL
+            # before dropping, so both loaders keep the same file set
+            # except for the (pathological) cv2-decodable-but-PIL-
+            # unopenable case.
+            img = _pil_decode_rgb(p)
+            if img is None:
+                continue
+        imgs.append(img)
         labels.append(lab)
     if not imgs:
         raise FileNotFoundError(f"no decodable images under "

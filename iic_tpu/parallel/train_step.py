@@ -313,7 +313,7 @@ def _wrap_epoch_scan(step_fn, mesh, axis_name, batch_arity=0):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def _wrap(step_fn, mesh, axis_name, batch_arity=0):
+def _wrap(step_fn, mesh, axis_name, batch_arity=0, n_outs=3):
     """jit the step, inserting shard_map when a mesh is given."""
     if mesh is None:
         fn = partial(step_fn, axis=None)
@@ -325,10 +325,54 @@ def _wrap(step_fn, mesh, axis_name, batch_arity=0):
         partial(step_fn, axis=axis_name),
         mesh=mesh,
         in_specs=(P(), batch_spec, P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(),) * n_outs,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_semisup_train_step(forward, augment, tx, mesh=None,
+                            axis_name="data"):
+    """Build the jitted semisup finetune step (reference
+    IID_semisup_STL10.py:227-256: tf2 augmentation -> sobel -> trunk
+    features -> SupHead5 -> CrossEntropy -> both Adams step).
+
+    step(state, (imgs_u8, labels), key) -> (state, loss)
+
+    ``forward(params, batch_stats, imgs, train)`` -> (logits, batch_stats)
+    and ``augment(imgs_u8, key)`` -> NCHW float32 (sobel included) are
+    supplied by the trainer. Under a mesh the batch is sharded over the
+    data axis, params/opt-state replicated; the per-shard CE mean is
+    pmean'd (equal shard sizes, so it equals the global-batch mean the
+    reference computes) and grads are pmean'd — the exact analogue of the
+    reference's 4-GPU DataParallel semisup runs
+    (examples/commands.txt:89)."""
+
+    def step_fn(state, batch, key, axis):
+        imgs_u8, labels = batch
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        imgs = augment(imgs_u8, key)
+
+        def loss_fn(params):
+            logits, bs = forward(params, state.batch_stats, imgs, True)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            return loss, bs
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = _reduce_grads(grads, axis, "parity")  # CE mean -> pmean
+        if axis is not None:
+            loss = jax.lax.pmean(loss, axis)
+        bs = _sync_batch_stats(bs, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=bs,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss
+
+    return _wrap(step_fn, mesh, axis_name, batch_arity=2, n_outs=2)
 
 
 def make_apply_fn(net, head=None, sobel=False, include_rgb=False,

@@ -169,11 +169,12 @@ def host_prefetch_iter(gen, config):
     globalizer), in resident mode (no per-step host work to hide) and
     under --no_host_prefetch."""
     import jax as _jax
-    if (_jax.process_count() > 1
+    from iic_tpu.data.prefetch import ThreadedPrefetch
+    if (isinstance(gen, ThreadedPrefetch)  # pipeline already wrapped it
+            or _jax.process_count() > 1
             or getattr(config, "resident_data", False)
             or getattr(config, "no_host_prefetch", False)):
         return gen
-    from iic_tpu.data.prefetch import ThreadedPrefetch
     return ThreadedPrefetch(gen, depth=2)
 
 

@@ -272,6 +272,10 @@ class SemisupConfig:
     lr_mult: float = 0.5
     test_code: bool = False
     seed: int = 0
+    # data-parallel mesh width (TPU-native equivalent of the reference's
+    # 4-GPU DataParallel semisup runs, examples/commands.txt:89);
+    # None/1 = single device
+    n_devices: Optional[int] = None
 
     def finalize(self):
         return self

@@ -231,27 +231,42 @@ def train_semisup(config):
         imgs = imgs_u8.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, imgs.shape[0])
         out = jax.vmap(tf2)(imgs, keys)  # (b, sz, sz, C')
-        return jnp.transpose(out, (0, 3, 1, 2))
-
-    @jax.jit
-    def train_step(state, imgs_u8, labels, key):
-        imgs = augment_train(imgs_u8, key)
+        imgs = jnp.transpose(out, (0, 3, 1, 2))
         if not grey:
             imgs = sobel_process(imgs, include_rgb)
+        return imgs
 
-        def loss_fn(params):
-            logits, bs = forward(params, state.batch_stats, imgs, True)
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels).mean()
-            return loss, bs
+    # data-parallel mesh (the reference runs semisup on 4-GPU
+    # DataParallel, commands.txt:89): batch sharded over the data axis,
+    # CE mean + grads pmean'd (equal shards -> identical global mean).
+    # Ragged final batches fall back to a lazily-built unsharded step.
+    mesh = None
+    n_dev = getattr(config, "n_devices", None)
+    if n_dev is not None and n_dev > 1:
+        from iic_tpu.parallel import make_mesh
+        mesh = make_mesh(n_dev)
+        bs_used = train_loader.batch_sz
+        if bs_used % n_dev:
+            train_loader.batch_sz = max((bs_used // n_dev) * n_dev, n_dev)
+            train_loader.num_batches = int(np.ceil(
+                len(train_loader.images) / train_loader.batch_sz))
+            _log(f"mesh({n_dev}): adjusted semisup batch_sz "
+                 f"{bs_used} -> {train_loader.batch_sz}")
 
-        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, batch_stats=bs,
-                          opt_state=opt_state,
-                          step=state.step + 1), loss
+    from iic_tpu.parallel.train_step import make_semisup_train_step
+    step_sharded = make_semisup_train_step(forward, augment_train, tx,
+                                           mesh=mesh)
+    _fallback = {}
+
+    def train_step(state, imgs_u8, labels, key):
+        if mesh is not None and imgs_u8.shape[0] % mesh.size:
+            if "step" not in _fallback:
+                _log(f"ragged semisup batch ({imgs_u8.shape[0]}): "
+                     "building unsharded step")
+                _fallback["step"] = make_semisup_train_step(
+                    forward, augment_train, tx, mesh=None)
+            return _fallback["step"](state, (imgs_u8, labels), key)
+        return step_sharded(state, (imgs_u8, labels), key)
 
     @jax.jit
     def eval_apply(params, batch_stats, imgs):

@@ -188,7 +188,7 @@ def _joint_pallas_raw(x1, x2, half_t, interpret):
 
 # ----------------------------------------------------------------- backward
 
-def _dgrad_kernel(g_ref, oth_ref, dx_ref, b_ref, da_ref, dxl,
+def _dgrad_kernel(g_ref, oth_ref, dx_ref, b_ref, dxl,
                   *, k, t, half, t_lo):
     """Input-gradient kernel, grid (n, width-tile, row-tile window).
 
@@ -210,16 +210,18 @@ def _dgrad_kernel(g_ref, oth_ref, dx_ref, b_ref, da_ref, dxl,
     # ONE wide MXU pass per tile: (kT, kT) @ (kT, RB*128) with the B stack's
     # (rb, q) pair flattened to a single 1024-lane dim (row-major reshape,
     # same element order), reshaped back afterwards. Faster than both the
-    # per-rb slice loop (17 ms/call) and the rank-3 dot (9 ms/call).
-    da_ref[:] = jax.lax.dot_general(
+    # per-rb slice loop (17 ms/call) and the rank-3 dot (9 ms/call). The
+    # dot's f32 result is consumed directly as a value by the unshift adds
+    # (a bf16 dA scratch round-trip costs ~0.2 ms/call extra, measured).
+    da = jax.lax.dot_general(
         g_ref[:], b_ref[:].reshape(b_ref.shape[0], _RB * _WL),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(da_ref.shape).astype(da_ref.dtype)
+    ).reshape(t * k, _RB, _WL)
 
     dxl[:] = jnp.zeros_like(dxl)
     for v in range(t):
-        dxl[:, :, v:v + _WL] += da_ref[v * k:(v + 1) * k].astype(dxl.dtype)
+        dxl[:, :, v:v + _WL] += da[v * k:(v + 1) * k]
     dx_ref[0, 0] = dxl[:]
 
 
@@ -259,7 +261,6 @@ def _dgrad_pallas(g2d, other, half_t, interpret):
             (n, wt, k, rows, 2 * _WL), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tk, _RB, _WL), jnp.bfloat16),  # B stack tile
-            pltpu.VMEM((tk, _RB, _WL), jnp.bfloat16),  # dA tile
             pltpu.VMEM((k, _RB, 2 * _WL), jnp.float32),  # local unshift
         ],
         interpret=interpret,

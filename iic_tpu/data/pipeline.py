@@ -46,13 +46,23 @@ def _load_partitions(config, partitions):
         if (config.dataset == "STL10" and p == "train+unlabeled"
                 and getattr(config, "mix_train", False)):
             ids = readers.reorder_train_deterministic_ids(
-                n_train=5000, per=len(imgs[5000:]) // 5000)
-            imgs, labels = imgs[ids], labels[ids]
+                n_train=5000, per=(len(imgs) - 5000) // 5000)
+            # .select keeps a lazy array lazy (plain fancy-indexing would
+            # materialise the whole 105k-image mix)
+            imgs = (imgs.select(ids) if hasattr(imgs, "select")
+                    else imgs[ids])
+            labels = labels[ids]
         parts.append((imgs, labels))
-    if len(parts) == 1:  # keeps a LazyImageArray lazy (ImageFolder's case)
+    if len(parts) == 1:  # keeps a lazy array lazy
         return parts[0]
-    images = np.concatenate([np.asarray(p[0]) for p in parts])
     labels = np.concatenate([p[1] for p in parts])
+    if lazy and all(hasattr(p[0], "select") for p in parts):
+        # lazy concat: LazyBinaryArray composes over lazy parts (each part
+        # materialises its own items; identity layout transform)
+        first = parts[0][0]
+        return readers.LazyBinaryArray(
+            [p[0] for p in parts], lambda x: x, first.shape[1:]), labels
+    images = np.concatenate([np.asarray(p[0]) for p in parts])
     return images, labels
 
 

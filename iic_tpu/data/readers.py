@@ -45,8 +45,82 @@ def _read_idx(path):
     return arr.reshape(dims)
 
 
-def load_mnist(root, train=True):
-    """MNIST idx files (raw or .gz), under root or root/raw."""
+class LazyBinaryArray:
+    """Memmap-backed decode-on-demand view over the binary built-in
+    dataset formats (MNIST idx rasters, STL10 column-major .bin): holds
+    ``np.memmap`` parts plus a per-batch layout ``transform``, so no
+    loader or eval path requires whole-set host residency — pages stream
+    from disk per accessed batch. Same array protocol as
+    ``LazyImageArray`` (len/shape/dtype, int/slice/fancy/bool-mask
+    ``__getitem__`` returning materialised uint8 numpy, lazy
+    ``.select``, and ``np.asarray`` for the explicit resident path)."""
+
+    dtype = np.dtype(np.uint8)
+
+    def __init__(self, parts, transform, item_shape, idx=None):
+        self.parts = list(parts)
+        lens = [len(p) for p in self.parts]
+        self._starts = np.cumsum([0] + lens)
+        self.idx = (np.arange(self._starts[-1], dtype=np.int64)
+                    if idx is None else np.asarray(idx, np.int64))
+        self.transform = transform
+        self.item_shape = tuple(int(s) for s in item_shape)
+
+    @property
+    def shape(self):
+        return (len(self.idx),) + self.item_shape
+
+    def __len__(self):
+        return len(self.idx)
+
+    @staticmethod
+    def _as_index_list(idx):
+        arr = np.asarray(idx)
+        if arr.dtype == bool:  # boolean mask, not 0/1 integer indices
+            arr = np.flatnonzero(arr)
+        return arr.reshape(-1)
+
+    def _materialise(self, gidx):
+        raw_shape = self.parts[0].shape[1:]
+        if len(gidx) == 0:
+            return np.zeros((0,) + self.item_shape, np.uint8)
+        part_of = np.searchsorted(self._starts, gidx, side="right") - 1
+        raw = np.empty((len(gidx),) + raw_shape, np.uint8)
+        for i, (g, pi) in enumerate(zip(gidx, part_of)):
+            raw[i] = self.parts[pi][g - self._starts[pi]]
+        return np.ascontiguousarray(self.transform(raw))
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._materialise(self.idx[idx:][:1])[0]
+        if isinstance(idx, slice):
+            return self._materialise(self.idx[idx])
+        return self._materialise(self.idx[self._as_index_list(idx)])
+
+    def select(self, idx):
+        """Lazy re-index (truncation / reorder) — no page reads."""
+        return LazyBinaryArray(self.parts, self.transform, self.item_shape,
+                               idx=self.idx[self._as_index_list(idx)])
+
+    def __array__(self, dtype=None, copy=None):
+        out = self._materialise(self.idx)
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _memmap_idx(path):
+    """np.memmap over an (uncompressed) idx file's raster payload."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        ndim = int.from_bytes(head, "big") & 0xFF
+        dims = [int.from_bytes(f.read(4), "big") for _ in range(ndim)]
+    return np.memmap(path, dtype=np.uint8, mode="r",
+                     offset=4 + 4 * ndim, shape=tuple(dims))
+
+
+def load_mnist(root, train=True, lazy=False):
+    """MNIST idx files (raw or .gz), under root or root/raw. ``lazy``
+    memory-maps uncompressed idx rasters (decode-on-demand,
+    ``LazyBinaryArray``); .gz files fall back to the eager decode."""
     prefix = "train" if train else "t10k"
     for sub in ("", "raw", "MNIST/raw"):
         base = os.path.join(root, sub)
@@ -55,8 +129,13 @@ def load_mnist(root, train=True):
         lbls_p = _find(base, f"{prefix}-labels-idx1-ubyte",
                        f"{prefix}-labels-idx1-ubyte.gz")
         if imgs_p and lbls_p:
-            images = _read_idx(imgs_p)[..., None]  # (N, 28, 28, 1)
             labels = _read_idx(lbls_p).astype(np.int32)
+            if lazy and not imgs_p.endswith(".gz"):
+                mm = _memmap_idx(imgs_p)
+                images = LazyBinaryArray(
+                    [mm], lambda x: x[..., None], mm.shape[1:] + (1,))
+            else:
+                images = _read_idx(imgs_p)[..., None]  # (N, 28, 28, 1)
             return {"images": images, "labels": labels}
     raise FileNotFoundError(f"MNIST idx files not found under {root}")
 
@@ -110,34 +189,49 @@ def _read_stl_bin(path):
     return imgs
 
 
-def load_stl10(root, split="train"):
+def _memmap_stl_bin(path):
+    n = os.path.getsize(path) // (3 * 96 * 96)
+    return np.memmap(path, dtype=np.uint8, mode="r", shape=(n, 3, 96, 96))
+
+
+_STL_TO_NHWC = (0, 3, 2, 1)  # column-major 96x96x3 per the STL10 spec
+
+
+def load_stl10(root, split="train", lazy=False):
+    """STL10 binary splits. ``lazy`` memory-maps the .bin files
+    (decode-on-demand ``LazyBinaryArray``; the 2.6 GB unlabeled split then
+    streams through the loaders page by page instead of residing in host
+    RAM — train+unlabeled is a lazy two-part concat)."""
     base = _find(root, "stl10_binary", "")
     if base is None or not os.path.isdir(base):
         raise FileNotFoundError(f"STL10 not found under {root}")
 
-    def load_part(part):
-        imgs = _read_stl_bin(os.path.join(base, f"{part}_X.bin"))
+    def part_labels(part, n):
         lbl_path = os.path.join(base, f"{part}_y.bin")
         if os.path.exists(lbl_path):
-            labels = np.fromfile(lbl_path, dtype=np.uint8).astype(
-                np.int32) - 1
-        else:
-            labels = np.full(len(imgs), -1, np.int32)
-        return imgs, labels
+            return np.fromfile(lbl_path, dtype=np.uint8).astype(np.int32) - 1
+        return np.full(n, -1, np.int32)
 
-    if split in ("train", "test"):
-        imgs, labels = load_part(split)
-    elif split == "unlabeled":
-        imgs = _read_stl_bin(os.path.join(base, "unlabeled_X.bin"))
-        labels = np.full(len(imgs), -1, np.int32)
-    elif split == "train+unlabeled":
-        ti, tl = load_part("train")
-        ui = _read_stl_bin(os.path.join(base, "unlabeled_X.bin"))
-        imgs = np.concatenate([ti, ui])
-        labels = np.concatenate([tl, np.full(len(ui), -1, np.int32)])
-    else:
+    parts = {"train": ["train"], "test": ["test"],
+             "unlabeled": ["unlabeled"],
+             "train+unlabeled": ["train", "unlabeled"]}.get(split)
+    if parts is None:
         raise ValueError(split)
-    return {"images": imgs, "labels": labels}
+
+    if lazy:
+        mms = [_memmap_stl_bin(os.path.join(base, f"{p}_X.bin"))
+               for p in parts]
+        images = LazyBinaryArray(
+            mms, lambda x: x.transpose(_STL_TO_NHWC), (96, 96, 3))
+        labels = np.concatenate(
+            [part_labels(p, len(mm)) for p, mm in zip(parts, mms)])
+    else:
+        imgs = [_read_stl_bin(os.path.join(base, f"{p}_X.bin"))
+                for p in parts]
+        labels = np.concatenate(
+            [part_labels(p, len(im)) for p, im in zip(parts, imgs)])
+        images = imgs[0] if len(imgs) == 1 else np.concatenate(imgs)
+    return {"images": images, "labels": labels}
 
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
@@ -453,4 +547,10 @@ def load_dataset(name, root, partition, lazy=False):
             "train" if partition else "test")
         return (load_image_folder_lazy(root, sub) if lazy
                 else load_image_folder(root, sub))
+    if name == "MNIST":
+        return load_mnist(root, train=partition, lazy=lazy)
+    if name == "STL10":
+        return load_stl10(root, split=partition, lazy=lazy)
+    # CIFAR is pickled (not memmap-able) and the Digits sets are tiny:
+    # lazy requests fall back to the eager decode for them.
     return DATASET_LOADERS[name](root, partition)

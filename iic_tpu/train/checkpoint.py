@@ -53,6 +53,16 @@ def _write_meta(config, history, last_epoch, name):
         f.write(config_to_str(config) + f"\nlast_epoch: {last_epoch}\n")
 
 
+def save_meta(config, history, last_epoch):
+    """config.pickle + config.txt only — written EVERY epoch like the
+    reference (cluster_sobel_twohead.py:449-455), so analysis/report
+    tooling sees the full metric history even between checkpoint epochs
+    and after --test_code runs. ``last_epoch`` must stay the last epoch
+    whose LATEST weights were saved (reference :433) so a plain restart
+    pairs meta with on-disk weights."""
+    _write_meta(config, history, last_epoch, name="meta")
+
+
 def save_checkpoint(config, state, history, name="latest", last_epoch=None):
     """Write <name>.ckpt + config.pickle + config.txt (+ best_config.pickle
     for best saves). ``last_epoch`` mirrors config.last_epoch (restart

@@ -331,6 +331,7 @@ def train_cluster_twohead(config):
         _pre_eval(config, net, state, map_assign, map_test, history,
                   sub_head, mesh=mesh)
 
+    last_saved = next_epoch - 1  # epoch of the on-disk latest weights
     state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
@@ -400,9 +401,13 @@ def train_cluster_twohead(config):
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 
@@ -483,6 +488,7 @@ def train_cluster_single(config):
                      history=history["eval"])
         _log(f"Pre: {history['eval'].epoch_stats[-1]}")
 
+    last_saved = next_epoch - 1  # epoch of the on-disk latest weights
     state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
@@ -528,9 +534,13 @@ def train_cluster_single(config):
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 

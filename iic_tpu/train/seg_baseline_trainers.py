@@ -244,6 +244,7 @@ def train_seg_baseline(config, kind):
         history["epoch_acc"].append(stats["acc"])
         _log(f"Pre: kmeans acc {stats['acc']:.6f}")
 
+    last_saved = next_epoch - 1  # epoch of the on-disk latest weights
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
         avg_loss = 0.0
@@ -282,9 +283,13 @@ def train_seg_baseline(config, kind):
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 

@@ -143,6 +143,7 @@ def train_segmentation_twohead(config):
             history["eval"].epoch_avg_subhead_acc.append(0.0)
             history["eval"].epoch_stats.append({})
 
+    last_saved = next_epoch - 1  # epoch of the on-disk latest weights
     state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
@@ -201,9 +202,13 @@ def train_segmentation_twohead(config):
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 
@@ -270,6 +275,7 @@ def train_segmentation_single(config):
             history["eval"].epoch_avg_subhead_acc.append(0.0)
             history["eval"].epoch_stats.append({})
 
+    last_saved = next_epoch - 1  # epoch of the on-disk latest weights
     state = replicate(state)  # multi-host: init/restored state is local
     for e_i in range(next_epoch, config.num_epochs):
         _log(f"Starting e_i: {e_i} {datetime.now()}")
@@ -315,9 +321,13 @@ def train_segmentation_single(config):
         if e_i % config.save_freq == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 

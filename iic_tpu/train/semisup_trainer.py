@@ -294,6 +294,7 @@ def train_semisup(config):
              f"{config.old_model_ind}, acc {acc:.6f} {datetime.now()}")
         history["epoch_acc"].append(float(acc))
 
+    last_saved = start_epoch - 1  # epoch of the on-disk latest weights
     for e_i in range(start_epoch, config.num_epochs):
         if e_i in set(config.lr_schedule):
             state = _multi_set_lr_mult(state, config.lr_mult)
@@ -331,12 +332,16 @@ def train_semisup(config):
         history["epoch_acc"].append(float(acc))
         history["epoch_loss"].append(avg_loss)
 
-        if is_best:
-            ckpt.save_checkpoint(config, state, history, "best",
-                                 last_epoch=e_i)
         if e_i % 10 == 0 or e_i == config.num_epochs - 1:
             ckpt.save_checkpoint(config, state, history, "latest",
                                  last_epoch=e_i)
+            last_saved = e_i
+        if is_best:
+            ckpt.save_checkpoint(config, state, history, "best",
+                                 last_epoch=last_saved)
+        # config.pickle/txt every epoch (reference :449-455); last_epoch
+        # stays pinned to the epoch of the on-disk latest weights
+        ckpt.save_meta(config, history, last_saved)
         if config.test_code:
             break
 

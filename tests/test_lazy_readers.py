@@ -1,0 +1,220 @@
+"""Lazy (memmap-backed) built-in readers: MNIST idx and STL10 .bin
+decode-on-demand views must be bit-identical to the eager loaders on
+every pipeline access pattern, stay lazy through select/truncate/
+mix_train, and keep peak RSS flat at COCO-scale element counts
+(VERDICT r3 #7)."""
+
+import os
+import subprocess
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from iic_tpu.data import readers
+from iic_tpu.data.readers import LazyBinaryArray, load_mnist, load_stl10
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_idx_images(path, arr):
+    with open(path, "wb") as f:
+        f.write((2051).to_bytes(4, "big"))
+        for d in arr.shape:
+            f.write(int(d).to_bytes(4, "big"))
+        f.write(arr.tobytes())
+
+
+def _write_idx_labels(path, arr):
+    with open(path, "wb") as f:
+        f.write((2049).to_bytes(4, "big"))
+        f.write(len(arr).to_bytes(4, "big"))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _make_mnist(root, n_train=60, n_test=20, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    for prefix, n in (("train", n_train), ("t10k", n_test)):
+        _write_idx_images(os.path.join(root, f"{prefix}-images-idx3-ubyte"),
+                          rng.randint(0, 256, (n, 28, 28), dtype=np.uint8))
+        _write_idx_labels(os.path.join(root, f"{prefix}-labels-idx1-ubyte"),
+                          rng.randint(0, 10, n, dtype=np.uint8))
+
+
+def _make_stl10(root, n_train=12, n_test=8, n_unlab=30, seed=0):
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, "stl10_binary")
+    os.makedirs(base, exist_ok=True)
+    for part, n, labelled in (("train", n_train, True),
+                              ("test", n_test, True),
+                              ("unlabeled", n_unlab, False)):
+        rng.randint(0, 256, (n, 3, 96, 96), dtype=np.uint8).tofile(
+            os.path.join(base, f"{part}_X.bin"))
+        if labelled:
+            (rng.randint(0, 10, n, dtype=np.uint8) + 1).tofile(
+                os.path.join(base, f"{part}_y.bin"))
+
+
+def test_mnist_lazy_matches_eager(tmp_path):
+    _make_mnist(str(tmp_path))
+    for train in (True, False):
+        eager = load_mnist(str(tmp_path), train=train)
+        lazy = load_mnist(str(tmp_path), train=train, lazy=True)
+        assert isinstance(lazy["images"], LazyBinaryArray)
+        assert lazy["images"].shape == eager["images"].shape
+        np.testing.assert_array_equal(np.asarray(lazy["images"]),
+                                      eager["images"])
+        np.testing.assert_array_equal(lazy["labels"], eager["labels"])
+        # every access pattern the pipelines use
+        np.testing.assert_array_equal(lazy["images"][3],
+                                      eager["images"][3])
+        np.testing.assert_array_equal(lazy["images"][2:9],
+                                      eager["images"][2:9])
+        idx = np.array([5, 1, 1, 7])
+        np.testing.assert_array_equal(lazy["images"][idx],
+                                      eager["images"][idx])
+        mask = np.zeros(len(eager["images"]), bool)
+        mask[[2, 4]] = True
+        np.testing.assert_array_equal(lazy["images"][mask],
+                                      eager["images"][mask])
+
+
+@pytest.mark.parametrize("split", ["train", "unlabeled", "train+unlabeled"])
+def test_stl10_lazy_matches_eager(tmp_path, split):
+    _make_stl10(str(tmp_path))
+    eager = load_stl10(str(tmp_path), split=split)
+    lazy = load_stl10(str(tmp_path), split=split, lazy=True)
+    assert isinstance(lazy["images"], LazyBinaryArray)
+    np.testing.assert_array_equal(np.asarray(lazy["images"]),
+                                  eager["images"])
+    np.testing.assert_array_equal(lazy["labels"], eager["labels"])
+    # cross-part fancy index on the two-part concat
+    if split == "train+unlabeled":
+        idx = np.array([0, 11, 12, 41, 30])
+        np.testing.assert_array_equal(lazy["images"][idx],
+                                      eager["images"][idx])
+
+
+def test_select_stays_lazy_and_composes(tmp_path):
+    _make_stl10(str(tmp_path))
+    lazy = load_stl10(str(tmp_path), split="train+unlabeled",
+                      lazy=True)["images"]
+    eager = np.asarray(lazy)
+    sel = lazy.select(np.array([40, 3, 3, 17]))
+    assert isinstance(sel, LazyBinaryArray)
+    np.testing.assert_array_equal(np.asarray(sel),
+                                  eager[np.array([40, 3, 3, 17])])
+    sel2 = sel.select([2, 0])
+    np.testing.assert_array_equal(np.asarray(sel2),
+                                  eager[np.array([3, 40])])
+
+
+def test_pipeline_never_materialises_whole_lazy_set(tmp_path, monkeypatch):
+    """Iterate the FULL eval + train paths over a lazy MNIST with
+    whole-set materialisation forbidden — any code path that pulls the
+    entire array (np.asarray / full-range gather) trips the guard."""
+    from iic_tpu.data.pipeline import ClusterTrainPipeline, MappingLoader
+
+    _make_mnist(str(tmp_path), n_train=60)
+    n_total = 60
+
+    def no_big_gather(self, gidx):
+        assert len(gidx) < n_total, "whole-set materialisation!"
+        return LazyBinaryArray._materialise(self, gidx)
+
+    monkeypatch.setattr(
+        LazyBinaryArray, "__array__",
+        lambda self, dtype=None, copy=None: (_ for _ in ()).throw(
+            AssertionError("np.asarray on lazy array")))
+    monkeypatch.setattr(LazyBinaryArray, "_materialise_guarded",
+                        no_big_gather, raising=False)
+
+    cfg = SimpleNamespace(
+        dataset="MNIST", dataset_root=str(tmp_path), lazy_images=True,
+        batch_sz=16, num_dataloaders=2, input_sz=24, include_rgb=False,
+        crop_orig=True, crop_other=True, tf1_crop="centre_half",
+        tf2_crop="random", tf1_crop_sz=20, tf2_crop_szs=(16, 20, 24),
+        rand_crop_sz=20, rot_val=25.0, no_flip=True, sobel=False,
+        demean=False, per_img_demean=False, cutout=False, cutout_p=0.5,
+        cutout_max_box=0.7, random_affine=False, affine_p=0.5,
+        num_sub_heads=1, gt_k=10, mix_train=False, seed=0,
+        fused_aug=False)
+    pipe = ClusterTrainPipeline(cfg, [True], seed=0)
+    assert isinstance(pipe.images, LazyBinaryArray)
+    seen = 0
+    for batch in pipe.epoch(0):
+        imgs = batch[0]
+        seen += 1
+        assert np.asarray(imgs).shape[0] <= 16
+    assert seen == len(pipe)
+
+    loader = MappingLoader(cfg, [False], batch_sz=8, truncate_pc=0.5)
+    assert isinstance(loader.images, LazyBinaryArray)  # truncate kept lazy
+    batches = list(loader)
+    assert sum(len(b[1]) for b in batches) == 10  # 20 test imgs * 0.5
+
+
+def test_mix_train_reorder_stays_lazy(tmp_path):
+    _make_stl10(str(tmp_path), n_train=5, n_unlab=10)
+    # mix_train expects 5000 train images; shrink via the internal helper
+    from iic_tpu.data import pipeline as pl
+
+    perm = np.arange(15)[::-1].copy()  # fixed stand-in interleave
+    orig = readers.reorder_train_deterministic_ids
+    readers.reorder_train_deterministic_ids = lambda n_train, per: perm
+    try:
+        cfg = SimpleNamespace(dataset="STL10", dataset_root=str(tmp_path),
+                              lazy_images=True, mix_train=True)
+        imgs, labels = pl._load_partitions(cfg, ["train+unlabeled"])
+        assert isinstance(imgs, LazyBinaryArray)  # reorder kept it lazy
+        assert len(imgs) == len(labels) == 15
+
+        cfg_eager = SimpleNamespace(
+            dataset="STL10", dataset_root=str(tmp_path),
+            lazy_images=False, mix_train=True)
+        imgs_e, labels_e = pl._load_partitions(cfg_eager,
+                                               ["train+unlabeled"])
+    finally:
+        readers.reorder_train_deterministic_ids = orig
+    np.testing.assert_array_equal(np.asarray(imgs), imgs_e)
+    np.testing.assert_array_equal(labels, labels_e)
+
+
+_RSS_CHILD = r"""
+import os, resource, sys
+import numpy as np
+sys.path.insert(0, sys.argv[1])
+root = sys.argv[2]
+from iic_tpu.data.readers import load_stl10
+
+d = load_stl10(root, split="unlabeled", lazy=True)
+imgs = d["images"]
+assert len(imgs) == 40000  # COCO-scale count; raw payload ~1.1 GB
+rng = np.random.default_rng(0)
+for _ in range(4):  # random eval-sized batches across the whole range
+    idx = rng.integers(0, len(imgs), 256)
+    batch = imgs[idx]
+    assert batch.shape == (256, 96, 96, 3)
+print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+"""
+
+
+def test_peak_rss_flat_at_coco_scale(tmp_path):
+    """40k-image STL10-format split (1.1 GB payload, sparse file): lazy
+    batch access must keep peak RSS far below the payload size. numpy-only
+    subprocess so the measurement isn't swamped by jax."""
+    base = tmp_path / "stl10_binary"
+    base.mkdir()
+    n = 40000
+    with open(base / "unlabeled_X.bin", "wb") as f:
+        f.truncate(n * 3 * 96 * 96)  # sparse: no disk/RAM cost until read
+    proc = subprocess.run(
+        [sys.executable, "-c", _RSS_CHILD, REPO, str(tmp_path)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    maxrss_mb = int(proc.stdout.strip()) / 1024.0
+    # payload is ~1080 MB; numpy + python baseline is ~60-120 MB. The
+    # eager loader would push past 1.1 GB.
+    assert maxrss_mb < 500, f"peak RSS {maxrss_mb:.0f} MB — not lazy"

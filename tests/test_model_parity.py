@@ -508,6 +508,142 @@ def run_semisup_lockstep(steps=10):
     return np.asarray(jax_losses), np.asarray(torch_losses)
 
 
+def run_semisup_grad_cosine(steps=30):
+    """Per-step drift bound for the semisup workload (VERDICT r3 #8): the
+    JAX side free-runs its dual-Adam trajectory; at EVERY step the current
+    jax params are transplanted into the torch twins, the torch reference
+    computes loss + gradients at the SAME state on the same batch, and the
+    true gradient cosine is taken by pushing the jax gradient tree through
+    the SAME transplant mapping (grads-as-params into throwaway twins), so
+    both gradients live in torch layout. Resyncing removes the chaotic
+    trajectory amplification that caps the free-running lockstep at ~4-5
+    steps, so every one of the ``steps`` steps carries a tight tolerance.
+    Returns (loss_diffs, cosines, norm_ratios) arrays of length steps."""
+    import optax as _optax
+
+    b, c, sz, gt_k = 8, 2, 32, 10
+    trunk_lr, head_lr = 1e-4, 1e-3
+    rng = np.random.default_rng(11)
+    imgs = rng.standard_normal((steps, b, c, sz, sz)).astype(np.float32)
+    labels = rng.integers(0, gt_k, (steps, b))
+
+    trunk = cluster_nets.ClusterNet5gTwoHead(
+        output_k_A=10, output_k_B=10, num_sub_heads=1, input_sz=sz)
+    variables = init_variables(trunk, jax.random.PRNGKey(11),
+                               jnp.asarray(imgs[0]))
+    tnet = tw.TorchNet5gTwoHead(c, sz, 10, 10, 1)
+    gnet = tw.TorchNet5gTwoHead(c, sz, 10, 10, 1)  # grad carrier
+
+    feats0 = trunk.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(imgs[0]), train=False, trunk_features=True,
+        penultimate_features=True)
+    dlen = feats0.shape[-1]
+    head = semisup.SupHead5Head(gt_k=gt_k)
+    head_vars = head.init(jax.random.PRNGKey(12), jnp.zeros((2, dlen)))
+    thead = tw.TorchSupHead5(dlen, gt_k, track=True)
+    ghead = tw.TorchSupHead5(dlen, gt_k, track=True)  # grad carrier
+
+    params = {"trunk": variables["params"], "head": head_vars["params"]}
+    batch_stats = {"trunk": variables["batch_stats"],
+                   "head": head_vars.get("batch_stats", {})}
+    tx = _optax.multi_transform(
+        {"trunk": _optax.adam(trunk_lr), "head": _optax.adam(head_lr)},
+        {"trunk": "trunk", "head": "head"})
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, im, lab):
+        def loss_fn(p):
+            feats, upd = trunk.apply(
+                {"params": p["trunk"], "batch_stats": batch_stats["trunk"]},
+                im, train=True, trunk_features=True,
+                penultimate_features=True, mutable=["batch_stats"])
+            logits, hupd = head.apply(
+                {"params": p["head"], "batch_stats": batch_stats["head"]},
+                feats, train=True, mutable=["batch_stats"])
+            loss = _optax.softmax_cross_entropy_with_integer_labels(
+                logits, lab).mean()
+            return loss, {"trunk": upd["batch_stats"],
+                          "head": hupd["batch_stats"]}
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (_optax.apply_updates(params, updates), bs, new_opt, loss,
+                grads)
+
+    ce = torch.nn.CrossEntropyLoss()
+    tnet.train(True)
+    thead.train(True)
+    loss_diffs, cosines, norm_ratios = [], [], []
+    for s in range(steps):
+        # resync torch twins to the CURRENT jax state
+        tw.transplant_cluster_net(
+            {"params": params["trunk"], "batch_stats": batch_stats["trunk"]},
+            tnet, "ClusterNet5gTrunk_0", twohead=True)
+        tw.transplant_sup_head(
+            {"params": params["head"], "batch_stats": batch_stats["head"]},
+            thead)
+
+        new_params, batch_stats, opt_state, jloss, jgrads = step(
+            params, batch_stats, opt_state, jnp.asarray(imgs[s]),
+            jnp.asarray(labels[s]))
+
+        # torch grads at the same state
+        tnet.zero_grad()
+        thead.zero_grad()
+        feats = tnet.trunk(torch.from_numpy(imgs[s]),
+                           penultimate_features=True)
+        logits = thead(feats)
+        tloss = ce(logits, torch.from_numpy(labels[s]))
+        tloss.backward()
+
+        # jax grads -> torch layout via the SAME transplant mapping
+        tw.transplant_cluster_net(
+            {"params": jgrads["trunk"],
+             "batch_stats": batch_stats["trunk"]},
+            gnet, "ClusterNet5gTrunk_0", twohead=True)
+        tw.transplant_sup_head(
+            {"params": jgrads["head"],
+             "batch_stats": batch_stats["head"]}, ghead)
+
+        dots = sq_j = sq_t = 0.0
+        pairs = list(zip(gnet.trunk.parameters(),
+                         tnet.trunk.parameters())) + \
+            list(zip(ghead.parameters(), thead.parameters()))
+        for gj, pt in pairs:
+            gt = None if pt.grad is None else pt.grad.detach()
+            gj = gj.detach().double()
+            if gt is None:
+                # params unused under penultimate_features (layer4 etc.):
+                # the jax gradient there must be exactly zero too
+                assert float(gj.abs().max()) == 0.0
+                continue
+            gt = gt.double()
+            dots += float((gj * gt).sum())
+            sq_j += float((gj * gj).sum())
+            sq_t += float((gt * gt).sum())
+        loss_diffs.append(abs(float(jloss) - float(tloss)))
+        cosines.append(dots / np.sqrt(sq_j * sq_t))
+        norm_ratios.append(np.sqrt(sq_j / sq_t))
+        params = new_params
+    return (np.asarray(loss_diffs), np.asarray(cosines),
+            np.asarray(norm_ratios))
+
+
+@pytest.mark.slow  # ~4 min on the 1-CPU host (ResNet fwd+bwd x2 x30)
+def test_semisup_grad_cosine_30_steps():
+    """Every step of a 30-step semisup trajectory: loss agreement and TRUE
+    gradient cosine vs the torch reference at the resynced state — the
+    per-step drift bound the free-running trajectory (chaos-limited to ~4
+    lockstep steps) cannot give."""
+    loss_diffs, cosines, norm_ratios = run_semisup_grad_cosine(steps=30)
+    assert loss_diffs.max() < 1e-4, loss_diffs
+    assert cosines.min() > 0.999, cosines
+    assert np.abs(norm_ratios - 1.0).max() < 1e-2, norm_ratios
+
+
 @pytest.mark.slow  # ~2 min on the 1-CPU host (ResNet trunk fwd+bwd x2)
 def test_semisup_lockstep_training_trajectory():
     """Third workload family lockstep: the SupHead5 finetune loop — trunk

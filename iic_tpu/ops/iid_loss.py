@@ -107,6 +107,13 @@ def IID_loss(x_out, x_tf_out, lamb=1.0, EPS=EPS, axis_name=None,
     log terms never leave VMEM. Only for single-shard (axis_name=None)
     invocations; the sharded global-joint path needs the psum between the
     joint and the log terms.
+
+    Measured (round 4, tools/fused_loss_bench.py, real v5e, paper MNIST
+    shape 700x10x5 sub-heads): loss-only fwd+bwd 2.57 ms vs 3.14 ms XLA
+    (0.82x), but the FULL train step is a wash (75.9 vs 75.1 ms — the
+    loss is ~4% of the model-bound step), so the XLA matmul joint stays
+    the default and --fused_loss remains an opt-in for loss-dominated
+    shapes (large k, small model).
     """
     if impl == "pallas":
         assert axis_name is None, (

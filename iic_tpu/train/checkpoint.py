@@ -22,6 +22,22 @@ def run_dir(config):
     return d
 
 
+def enable_compile_cache(config):
+    """Point JAX's persistent compilation cache at a dir shared across
+    runs (``out_root/.jax_cache``) so CLI restarts / sibling model_inds
+    skip the multi-minute fused-program compiles. No-op when a cache dir
+    is already configured (tests configure their own in conftest) or
+    when ``config.no_compile_cache`` is set."""
+    if getattr(config, "no_compile_cache", False):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    d = os.path.join(config.out_root or ".", ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _state_to_bytes(state):
     pure = {
         "params": jax.device_get(state.params),

@@ -237,6 +237,7 @@ def train_cluster_twohead(config):
     Reference: cluster_sobel_twohead.py / cluster_greyscale_twohead.py main.
     """
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe_a, pipe_b, map_assign, map_test = \
@@ -446,6 +447,7 @@ def train_cluster_single(config):
     from iic_tpu.data.pipeline import cluster_create_dataloaders
 
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = cluster_create_dataloaders(
         config, seed=config.seed,

@@ -84,6 +84,7 @@ class ClusterConfig:
     seed: int = 0
     eval_batch_sz: Optional[int] = None
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
+    no_compile_cache: bool = False  # skip the persistent XLA cache
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_loss: bool = False  # Pallas fused IID-loss kernel (single device)
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
@@ -207,6 +208,7 @@ class SegConfig:
     # "conv" (exact-parity reference conv)
     joint_impl: str = "pallas"
     profile_dir: str = ""  # write a jax.profiler trace of one epoch here
+    no_compile_cache: bool = False  # skip the persistent XLA cache
     use_orbax: bool = False  # Orbax checkpoint backend
     fused_pair_forward: bool = False  # one 2B forward (BN stats over union)
     resident_data: bool = False  # stage dataset in HBM; crop on device
@@ -253,6 +255,7 @@ class SemisupConfig:
     trunk_lr: float = 1e-4
     num_epochs: int = 1000
     new_batch_sz: int = -1  # -1: inherit old config's batch_sz
+    no_compile_cache: bool = False  # skip the persistent XLA cache
     out_root: str = "out"
     restart: bool = False
     restart_new_model_ind: bool = False

@@ -140,6 +140,7 @@ def sample_isola_pairs(key, batch, input_sz, patch_side):
 def train_seg_baseline(config, kind):
     """kind: "doersch" | "isola". Returns (state, history)."""
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
     assert kind in ("doersch", "isola")
     config.single_mode = True
 

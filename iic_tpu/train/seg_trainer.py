@@ -66,6 +66,7 @@ def make_seg_eval_apply(net, state, config, head="B", mesh=None):
 def train_segmentation_twohead(config):
     """Two-head unsupervised segmentation (IIC). Returns (state, history)."""
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(
@@ -220,6 +221,7 @@ def train_segmentation_single(config):
     """Single-head IID+ segmentation (overclustering).
     Reference: code/scripts/segmentation/segmentation.py."""
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
 
     use_mesh = adjust_batch_for_mesh(config)
     pipe, map_assign, map_test = segmentation_create_dataloaders(

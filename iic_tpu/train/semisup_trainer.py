@@ -116,6 +116,7 @@ def _multi_set_lr_mult(state, lr_mult):
 def train_semisup(config):
     """Run the semisup finetune. Returns (state, history dict)."""
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
     old_config, trunk_net, trunk_state = load_old_run(config)
 
     if config.new_batch_sz == -1:

@@ -89,6 +89,7 @@ def triplets_eval(config, apply_fn, test_loader, history,
 def train_triplets(config):
     """Returns (state, history)."""
     _log(config_to_str(config))
+    ckpt.enable_compile_cache(config)
 
     train_parts, _, _, map_test_parts = _twohead_partitions(config)
     config.train_partitions_head_A = train_parts

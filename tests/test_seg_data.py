@@ -114,6 +114,24 @@ def test_seg_fast_host_batch_matches_per_sample_path():
         np.testing.assert_array_equal(np.asarray(fk), np.asarray(sk))
 
 
+def test_seg_fast_host_mask_cache_budget_gate(monkeypatch):
+    """With the raw-mask cache budget forced to 0 the fast path must
+    recompute per batch and still produce identical batches (the cache
+    is a pure memoisation of keep[lab+1])."""
+    monkeypatch.setenv("IIC_TPU_MASK_CACHE_BYTES", "0")
+    cfg = _seg_cfg(batch_sz=6, dataloader_batch_sz=6)
+    gated = SegTrainPipeline(cfg, ["train"], use_native=False)
+    assert gated._mask_cache_budget == 0
+    monkeypatch.delenv("IIC_TPU_MASK_CACHE_BYTES")
+    cached = SegTrainPipeline(cfg, ["train"], use_native=False)
+    for (gi, gm, gk), (ci, cm, ck) in zip(
+            gated.epoch(0, augmented=False),
+            cached.epoch(0, augmented=False)):
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ci))
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(cm))
+    assert not gated._mask_cache and cached._mask_cache
+
+
 def test_seg_pipeline_flip_negates_affine_row():
     cfg = _seg_cfg(use_random_affine=False)
     augment = make_seg_augment(cfg)

@@ -163,9 +163,13 @@ def mesh_drop_last(config, use_mesh):
 
 def host_prefetch_iter(gen, config):
     """Wrap an epoch generator in the background prefetch thread (see
-    data/prefetch.py): host prep + upload for batches i+1/i+2 overlap the
-    consumer's dispatch/wait on batch i — the bench's measured end-to-end
-    win. Pass-through on pods (shards are assembled per step by the
+    data/prefetch.py): host prep + upload for batches ahead of the
+    consumer overlap its dispatch/wait on batch i — the bench's measured
+    end-to-end win. Depth 8 by default (--prefetch_depth): with one host
+    core shared between prep, dispatch and transport I/O, prep time
+    spikes 5-50x under load (VALIDATION.md round-4 trace), and a deeper
+    queue rides the spikes out for ~8 MB/batch of host RAM each.
+    Pass-through on pods (shards are assembled per step by the
     globalizer), in resident mode (no per-step host work to hide) and
     under --no_host_prefetch."""
     import jax as _jax
@@ -175,7 +179,7 @@ def host_prefetch_iter(gen, config):
             or getattr(config, "resident_data", False)
             or getattr(config, "no_host_prefetch", False)):
         return gen
-    return ThreadedPrefetch(gen, depth=2)
+    return ThreadedPrefetch(gen, depth=getattr(config, "prefetch_depth", 8))
 
 
 def make_ragged_fallback(make_step, full_batch_size, mesh, config):

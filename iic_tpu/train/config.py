@@ -92,6 +92,7 @@ class ClusterConfig:
     lazy_images: bool = False  # ImageFolder: decode per batch, not up front
     epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
     no_host_prefetch: bool = False  # disable the background prefetch thread
+    prefetch_depth: int = 8  # host prefetch queue depth (~8 MB/batch)
     kmeans_on_features: bool = False  # triplets baseline eval variant
 
     # derived (finalize)
@@ -214,6 +215,7 @@ class SegConfig:
     resident_data: bool = False  # stage dataset in HBM; crop on device
     epoch_scan: bool = False  # fuse whole epochs into one lax.scan program
     no_host_prefetch: bool = False  # disable the background prefetch thread
+    prefetch_depth: int = 8  # host prefetch queue depth (~8 MB/batch)
 
     # derived
     twohead: bool = True
@@ -256,6 +258,7 @@ class SemisupConfig:
     num_epochs: int = 1000
     new_batch_sz: int = -1  # -1: inherit old config's batch_sz
     no_compile_cache: bool = False  # skip the persistent XLA cache
+    prefetch_depth: int = 8  # host prefetch queue depth
     out_root: str = "out"
     restart: bool = False
     restart_new_model_ind: bool = False

@@ -183,21 +183,37 @@ def test_mix_train_reorder_stays_lazy(tmp_path):
 
 
 _RSS_CHILD = r"""
-import os, resource, sys
+import os, sys
 import numpy as np
 sys.path.insert(0, sys.argv[1])
 root = sys.argv[2]
+def rss_mb():
+    # Current VmRSS, NOT ru_maxrss: getrusage's peak includes the brief
+    # fork window in which the child shares the (jax-laden) pytest
+    # parent's whole address space, so ru_maxrss reports the PARENT's
+    # size. Sampling current RSS after every stage still catches eager
+    # materialisation (an eager load would persist as +1.1 GB).
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) // 1024
+    raise RuntimeError("no VmRSS")
+stages = [("start", rss_mb())]
 from iic_tpu.data.readers import load_stl10
+stages.append(("import", rss_mb()))
 
 d = load_stl10(root, split="unlabeled", lazy=True)
 imgs = d["images"]
 assert len(imgs) == 40000  # COCO-scale count; raw payload ~1.1 GB
+stages.append(("load", rss_mb()))
 rng = np.random.default_rng(0)
-for _ in range(4):  # random eval-sized batches across the whole range
+for i in range(4):  # random eval-sized batches across the whole range
     idx = rng.integers(0, len(imgs), 256)
     batch = imgs[idx]
     assert batch.shape == (256, 96, 96, 3)
-print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+    stages.append((f"batch{i}", rss_mb()))
+print(" ".join(f"{n}={v}" for n, v in stages), file=sys.stderr)
+print(max(v for _, v in stages) * 1024)  # KiB, like ru_maxrss
 """
 
 
@@ -217,4 +233,6 @@ def test_peak_rss_flat_at_coco_scale(tmp_path):
     maxrss_mb = int(proc.stdout.strip()) / 1024.0
     # payload is ~1080 MB; numpy + python baseline is ~60-120 MB. The
     # eager loader would push past 1.1 GB.
-    assert maxrss_mb < 500, f"peak RSS {maxrss_mb:.0f} MB — not lazy"
+    assert maxrss_mb < 500, (
+        f"peak RSS {maxrss_mb:.0f} MB — not lazy; stages: "
+        f"{proc.stderr.strip()[-500:]}")

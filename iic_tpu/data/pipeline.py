@@ -177,20 +177,25 @@ class ClusterTrainPipeline:
             if self.deterministic_shuffle else None)
         return order, root
 
-    def epoch(self, epoch_idx, augmented=True):
+    def epoch(self, epoch_idx, augmented=True, prefetch="auto"):
         """Deterministic sequential batches. ``augmented=False`` yields
         (base_uint8 device array, key) for fusion into a train step;
         otherwise yields the augmented pair.
 
         One-deep prefetch: batch i+1's host->device copy is issued
         (asynchronously) before batch i is yielded, overlapping upload with
-        the consumer's step (SURVEY.md §7 hard part #6). When the image
-        store is a decode-on-demand LazyImageArray, the whole generator
-        additionally moves onto a ThreadedPrefetch thread so per-batch
-        decode overlaps the consumer's step even for consumers that don't
-        wrap it in host_prefetch_iter themselves."""
+        the consumer's step (SURVEY.md §7 hard part #6).
+
+        ``prefetch``: ``"auto"`` (default) moves the generator onto a
+        ThreadedPrefetch thread when the image store is a decode-on-demand
+        LazyImageArray, so per-batch decode overlaps the consumer's step
+        even for consumers that don't wrap it in ``host_prefetch_iter``
+        themselves. ``False`` returns the raw generator — the trainers
+        pass this so ``--prefetch_depth`` / ``--no_host_prefetch`` stay in
+        control of the one prefetch thread."""
         gen = self._epoch_gen(epoch_idx, augmented)
-        if isinstance(self.images, readers.LazyImageArray):
+        if prefetch == "auto" and isinstance(self.images,
+                                             readers.LazyImageArray):
             from iic_tpu.data.prefetch import ThreadedPrefetch
             return ThreadedPrefetch(gen, depth=2)
         return gen

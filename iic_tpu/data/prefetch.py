@@ -57,6 +57,8 @@ class ThreadedPrefetch:
                     except queue.Full:
                         continue
                 if self._stop.is_set():
+                    if hasattr(gen, "close"):
+                        gen.close()  # run its finally blocks NOW
                     return
             self._q.put(_DONE)
         except BaseException as e:  # propagate to the consumer
@@ -97,7 +99,16 @@ def prefetch_epochs(pipe, epoch_indices, depth=2, **epoch_kw):
 
     def chained():
         for e_i in epoch_indices:
-            for item in pipe.epoch(e_i, **epoch_kw):
-                yield (e_i,) + tuple(item)
+            gen = pipe.epoch(e_i, **epoch_kw)
+            try:
+                for item in gen:
+                    yield (e_i,) + tuple(item)
+            finally:
+                # If epoch() returned its own ThreadedPrefetch (lazy
+                # image stores), stop that inner worker when the outer
+                # prefetch is closed mid-epoch — otherwise it would spin
+                # against its full queue for the process lifetime.
+                if hasattr(gen, "close"):
+                    gen.close()
 
     return ThreadedPrefetch(chained(), depth=depth)

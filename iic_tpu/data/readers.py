@@ -86,8 +86,12 @@ class LazyBinaryArray:
             return np.zeros((0,) + self.item_shape, np.uint8)
         part_of = np.searchsorted(self._starts, gidx, side="right") - 1
         raw = np.empty((len(gidx),) + raw_shape, np.uint8)
-        for i, (g, pi) in enumerate(zip(gidx, part_of)):
-            raw[i] = self.parts[pi][g - self._starts[pi]]
+        # One vectorised memmap gather per part (not per item): the
+        # common cases — a whole batch from one part, or a resident
+        # stage over train+unlabeled — become a handful of numpy calls.
+        for pi in np.unique(part_of):
+            sel = part_of == pi
+            raw[sel] = self.parts[pi][gidx[sel] - self._starts[pi]]
         return np.ascontiguousarray(self.transform(raw))
 
     def __getitem__(self, idx):

@@ -19,6 +19,14 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # Silent truncation here would be worse than an error: the
+            # trainers align batch_sz to n_devices, so a smaller mesh
+            # fails every divisibility check and the whole run quietly
+            # takes the unsharded ragged fallback.
+            raise ValueError(
+                f"requested n_devices={n_devices} but only "
+                f"{len(devices)} JAX devices are visible")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 

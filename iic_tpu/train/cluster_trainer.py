@@ -356,7 +356,8 @@ def train_cluster_twohead(config):
             repeats = 0 if scan_runners is not None else head_epochs[head]
             for _ in range(repeats):
                 it = host_prefetch_iter(
-                    pipes[head].epoch(e_i, augmented=False), config)
+                    pipes[head].epoch(e_i, augmented=False,
+                                      prefetch=False), config)
                 for b_i, (base, key) in enumerate(it):
                     if jax.process_count() > 1 and not weighted:
                         base = base[0]  # parity: all-ones weights dropped
@@ -506,7 +507,8 @@ def train_cluster_single(config):
 
         avg_loss = avg_loss_nl = 0.0
         count = 0
-        it = host_prefetch_iter(pipe.epoch(e_i, augmented=False), config)
+        it = host_prefetch_iter(
+            pipe.epoch(e_i, augmented=False, prefetch=False), config)
         for b_i, (base, key) in enumerate(it):
             if jax.process_count() > 1 and not weighted:
                 base = base[0]  # parity: all-ones weights dropped

@@ -238,6 +238,12 @@ def train_seg_baseline(config, kind):
         state, history, last_epoch = ckpt.load_checkpoint(config, state,
                                                           name="latest")
         next_epoch = last_epoch + 1
+        # config.pickle holds the full every-epoch history but
+        # latest.ckpt is only saved every save_freq epochs: truncate to
+        # the restored weights so re-run epochs are not double-appended.
+        # Pre-eval is "epoch 0": epoch e's acc at index e, loss at e - 1.
+        del history["epoch_acc"][last_epoch + 1:]
+        del history["epoch_loss"][last_epoch:]
     else:
         stats = kmeans_segmentation_eval(
             make_features_fn(state), map_assign, config.gt_k,

@@ -282,6 +282,14 @@ def train_semisup(config):
         state, history, last_epoch = ckpt.load_checkpoint(config, state,
                                                           name="latest")
         start_epoch = last_epoch + 1
+        # config.pickle is written EVERY epoch but latest.ckpt only every
+        # 10: drop history entries past the restored weights (reference
+        # IID_semisup_STL10.py:96-97) so re-run epochs are not
+        # double-appended and is_best is judged against the surviving
+        # trajectory only. epoch_acc has a "pre" entry at index 0, so
+        # epoch e lives at index e + 1; epoch_loss at index e.
+        del history["epoch_acc"][last_epoch + 2:]
+        del history["epoch_loss"][last_epoch + 1:]
         if config.restart_new_model_ind:
             # continue under a new run id (reference :215-222)
             config.model_ind = config.new_model_ind

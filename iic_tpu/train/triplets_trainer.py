@@ -167,6 +167,14 @@ def train_triplets(config):
         state, history, last_epoch = ckpt.load_checkpoint(config, state,
                                                           name="latest")
         next_epoch = last_epoch + 1
+        # config.pickle holds the full every-epoch history but
+        # latest.ckpt is only saved every save_freq epochs: truncate to
+        # the restored weights so re-run epochs are not double-appended
+        # (mirrors cluster_trainer._truncate_history). The pre-eval is
+        # "epoch 0": epoch e's eval lives at index e, its loss at e - 1.
+        for k in ("epoch_acc", "masses", "per_class_acc"):
+            del history[k][last_epoch + 1:]
+        del history["epoch_loss"][last_epoch:]
     else:
         kf = getattr(config, "kmeans_on_features", False)
         triplets_eval(config, make_apply(state), test_loader, history,
@@ -184,7 +192,8 @@ def train_triplets(config):
         neg_order = neg_rng.permutation(n)
         avg_loss = 0.0
         count = 0
-        it = host_prefetch_iter(pipe.epoch(e_i, augmented=False), config)
+        it = host_prefetch_iter(
+            pipe.epoch(e_i, augmented=False, prefetch=False), config)
         for b_i, (base, key) in enumerate(it):
             neg_idx = neg_order[b_i * bsz:b_i * bsz + base.shape[0]]
             # resident mode: batches are index arrays; the negative is a

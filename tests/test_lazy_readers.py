@@ -120,16 +120,17 @@ def test_pipeline_never_materialises_whole_lazy_set(tmp_path, monkeypatch):
     _make_mnist(str(tmp_path), n_train=60)
     n_total = 60
 
+    orig_materialise = LazyBinaryArray._materialise
+
     def no_big_gather(self, gidx):
         assert len(gidx) < n_total, "whole-set materialisation!"
-        return LazyBinaryArray._materialise(self, gidx)
+        return orig_materialise(self, gidx)
 
     monkeypatch.setattr(
         LazyBinaryArray, "__array__",
         lambda self, dtype=None, copy=None: (_ for _ in ()).throw(
             AssertionError("np.asarray on lazy array")))
-    monkeypatch.setattr(LazyBinaryArray, "_materialise_guarded",
-                        no_big_gather, raising=False)
+    monkeypatch.setattr(LazyBinaryArray, "_materialise", no_big_gather)
 
     cfg = SimpleNamespace(
         dataset="MNIST", dataset_root=str(tmp_path), lazy_images=True,

@@ -67,9 +67,12 @@ def test_digits_paper_config_short_epoch_band(tmp_path):
     accs = np.array(meta["history"]["eval"].epoch_acc, float)
     assert len(accs) == 12  # pre-eval + 11 epochs (1..11)
     best = accs.max()
-    # Band: chance is 0.10; the historical trajectory reaches ~0.60-0.75
-    # by epoch 10 (0.893 at convergence). 0.45 catches any real
-    # regression of the loss/aug/eval stack while tolerating run noise.
-    assert best >= 0.45, f"digits regression: best acc {best:.3f} < 0.45"
+    # Band: chance is 0.10; the recorded trajectory reaches 0.70 @ epoch
+    # 10 (0.893 at convergence — VALIDATION.md round-2 table; re-observed
+    # each round in the slow-suite record). 0.60 sits 0.10 under the
+    # observed short-run best while catching any regression that
+    # meaningfully slows learning (tightened from 0.45 per round-4
+    # verdict item 4).
+    assert best >= 0.60, f"digits regression: best acc {best:.3f} < 0.60"
     # and the trajectory must actually improve on the random init
     assert best - accs[0] >= 0.25, (accs[0], best)

@@ -10,6 +10,18 @@ Public surface mirrors the reference (see SURVEY.md):
   - Hungarian-matching eval in ``iic_tpu.evals``
 """
 
+import os as _os
+
+if _os.environ.get("IIC_TPU_PLATFORM"):
+    # Deterministic platform selection for subprocess runs (tests, the
+    # paper-parity harness, CI without a chip). The JAX_PLATFORMS env var
+    # alone is not reliable where a sitecustomize pre-registers another
+    # backend at interpreter startup; the config update is, as long as it
+    # happens before the first computation — package import time is.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["IIC_TPU_PLATFORM"])
+
 from iic_tpu.ops.iid_loss import IID_loss, compute_joint
 from iic_tpu.ops.iid_seg_loss import (
     IID_segmentation_loss,

@@ -45,8 +45,12 @@ def _load_partitions(config, partitions):
         imgs, labels = d["images"], d["labels"]
         if (config.dataset == "STL10" and p == "train+unlabeled"
                 and getattr(config, "mix_train", False)):
+            # train-part size from the labels (the unlabeled part is -1):
+            # 5000 on the real STL10, so identical behaviour there, while
+            # synthetic-format fixtures of any size also work
+            n_train = int((labels >= 0).sum())
             ids = readers.reorder_train_deterministic_ids(
-                n_train=5000, per=(len(imgs) - 5000) // 5000)
+                n_train=n_train, per=(len(imgs) - n_train) // n_train)
             # .select keeps a lazy array lazy (plain fancy-indexing would
             # materialise the whole 105k-image mix)
             imgs = (imgs.select(ids) if hasattr(imgs, "select")

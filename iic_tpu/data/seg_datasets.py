@@ -306,7 +306,7 @@ def _curated_few_name(config):
     return f"{name}_{config.coco_164k_curated_version}"
 
 
-class Coco10kFull(_CocoBase, _CocoFullMixin):
+class Coco10kFull(_CocoFullMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         self.init_label_space(config)
@@ -314,7 +314,7 @@ class Coco10kFull(_CocoBase, _CocoFullMixin):
         self._load_raw = lambda i: self._load_10k(self.files[i])
 
 
-class Coco10kFew(_CocoBase, _CocoFewMixin):
+class Coco10kFew(_CocoFewMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         self.init_label_space(config)
@@ -322,7 +322,7 @@ class Coco10kFew(_CocoBase, _CocoFewMixin):
         self._load_raw = lambda i: self._load_10k(self.files[i])
 
 
-class Coco164kFull(_CocoBase, _CocoFullMixin):
+class Coco164kFull(_CocoFullMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         self.init_label_space(config)
@@ -330,7 +330,7 @@ class Coco164kFull(_CocoBase, _CocoFullMixin):
         self._load_raw = lambda i: self._load_164k(self.files[i])
 
 
-class Coco164kFew(_CocoBase, _CocoFewMixin):
+class Coco164kFew(_CocoFewMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         self.init_label_space(config)
@@ -338,7 +338,7 @@ class Coco164kFew(_CocoBase, _CocoFewMixin):
         self._load_raw = lambda i: self._load_164k(self.files[i])
 
 
-class Coco164kCuratedFew(_CocoBase, _CocoFewMixin):
+class Coco164kCuratedFew(_CocoFewMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         self.init_label_space(config)
@@ -347,7 +347,7 @@ class Coco164kCuratedFew(_CocoBase, _CocoFewMixin):
         self._load_raw = lambda i: self._load_164k(self.files[i])
 
 
-class Coco164kCuratedFull(_CocoBase, _CocoFullMixin):
+class Coco164kCuratedFull(_CocoFullMixin, _CocoBase):
     def __init__(self, config, split, purpose):
         super().__init__(config, split, purpose)
         assert config.use_coarse_labels
@@ -467,6 +467,73 @@ class SyntheticSeg(_SegDatasetBase):
         return np.arange(-1, self.gt_k, dtype=np.int32)
 
 
+class SyntheticSegStripes(_SegDatasetBase):
+    """Texture-only synthetic segmentation: every class is a sinusoidal
+    grating with the SAME mean (0.5) and amplitude (0.45) — per-pixel
+    intensity histograms are identical across classes, so pointwise
+    colour carries zero class information. Classes differ only by
+    (orientation, frequency): c=0 horizontal f, c=1 vertical f, c=2
+    horizontal 2f, c=3 vertical 2f, ... Orientations are restricted to
+    horizontal/vertical so class identity survives the pipeline's random
+    horizontal flip of img2 (seg_pipeline flips when rand() > flip_p,
+    reference cocostuff.py:212), and phases are randomised per image so
+    absolute position is uninformative. Discriminating classes therefore
+    REQUIRES spatial context — the regime the displacement-invariance
+    term of the segmentation loss exists for (reference
+    code/utils/segmentation/IID_losses.py:86-159). Used by the real-chip
+    segmentation learning-regression test.
+
+    Name: SyntheticSegStripes<K>x<SZ>[x<N>]; grey texture replicated to
+    3 channels + per-channel noise."""
+
+    def __init__(self, config, split, purpose):
+        super().__init__(config, split, purpose)
+        name = config.dataset[len("SyntheticSegStripes"):]
+        fields = [int(v) for v in name.split("x")]
+        k, sz = fields[:2]
+        n = fields[2] if len(fields) > 2 else 256
+        if split in ("test", "val", "labelled_test"):
+            n = max(n // 4, 8)
+        assert k == self.gt_k
+        rng = np.random.default_rng(0 if "train" in str(split) else 1)
+        yy, xx = np.mgrid[0:sz, 0:sz].astype(np.float32)
+        base_period = 8.0  # px; well inside net10a's 30-px receptive field
+        self.images = np.zeros((n, sz, sz, 3), np.uint8)
+        self.labels = np.zeros((n, sz, sz), np.int32)
+        for i in range(n):
+            # smooth spatial class field (same construction as SyntheticSeg)
+            cx = rng.uniform(0.2, 0.8, k)
+            cy = rng.uniform(0.2, 0.8, k)
+            scales = rng.uniform(0.5, 2.0, k)
+            fields_ = np.stack([
+                -scales[c] * ((xx / sz - cx[c]) ** 2
+                              + (yy / sz - cy[c]) ** 2)
+                for c in range(k)])
+            lab = np.argmax(fields_, axis=0)
+            tex = np.zeros((sz, sz), np.float32)
+            for c in range(k):
+                coord = xx if c % 2 == 0 else yy      # horizontal/vertical
+                freq = 2.0 * np.pi / base_period * (2 ** (c // 2))
+                phase = rng.uniform(0, 2 * np.pi)
+                tex = np.where(lab == c,
+                               0.5 + 0.45 * np.sin(freq * coord + phase),
+                               tex)
+            img = np.repeat(tex[:, :, None], 3, axis=-1)
+            img += 0.05 * rng.standard_normal(img.shape).astype(np.float32)
+            self.images[i] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            self.labels[i] = lab
+        self.files = list(range(n))
+
+    def _load_raw(self, idx):
+        return self.images[idx], self.labels[idx]
+
+    def _filter_label(self, label):
+        return label, np.ones(label.shape, bool)
+
+    def label_filter_table(self):
+        return np.arange(-1, self.gt_k, dtype=np.int32)
+
+
 SEG_DATASETS = {
     "Coco10kFull": Coco10kFull,
     "Coco10kFew": Coco10kFew,
@@ -479,6 +546,8 @@ SEG_DATASETS = {
 
 
 def build_seg_dataset(config, split, purpose):
+    if config.dataset.startswith("SyntheticSegStripes"):
+        return SyntheticSegStripes(config, split, purpose)
     if config.dataset.startswith("SyntheticSeg"):
         return SyntheticSeg(config, split, purpose)
     return SEG_DATASETS[config.dataset](config, split, purpose)

@@ -273,3 +273,30 @@ def test_seg_resident_trainer_smoke(tmp_path):
     cfg.finalize(twohead=True)
     state, history = train_segmentation_twohead(cfg)
     assert np.isfinite(history["epoch_loss_head_B"][0])
+
+
+def test_stripes_dataset_texture_only_and_balanced():
+    """SyntheticSegStripes (the real-chip seg regression dataset): class
+    shares near-uniform and per-class pixel-intensity statistics
+    indistinguishable — pointwise colour must carry no class signal, so
+    only spatial context (displacement invariance) can beat the prior."""
+    from iic_tpu.data.seg_datasets import SyntheticSegStripes
+
+    cfg = _seg_cfg(dataset="SyntheticSegStripes3x64x32", input_sz=64)
+    ds = SyntheticSegStripes(cfg, "train", "train")
+    assert ds.images.shape == (32, 64, 64, 3)
+    lab = ds.labels
+    shares = np.bincount(lab.ravel(), minlength=3) / lab.size
+    assert shares.max() < 0.45  # majority prior stays near chance
+    stats = [(ds.images[..., 0][lab == c].mean(),
+              ds.images[..., 0][lab == c].std()) for c in range(3)]
+    means, stds = zip(*stats)
+    assert max(means) - min(means) < 4.0   # of a 0..255 range
+    assert max(stds) - min(stds) < 4.0
+    # deterministic (regression band depends on it)
+    ds2 = SyntheticSegStripes(cfg, "train", "train")
+    np.testing.assert_array_equal(ds.images, ds2.images)
+    # test split differs from train (different generator stream)
+    ds_t = SyntheticSegStripes(cfg, "test", "test")
+    assert ds_t.images.shape[0] == 8
+    assert not np.array_equal(ds_t.images[0], ds.images[0])

@@ -494,3 +494,87 @@ def test_cli_import_end_to_end(tmp_path):
     for head in ("A", "B"):
         _assert_close(_flax_forward(net, variables, x, False, head=head),
                       _torch_forward(twin, x, False, head=head))
+
+
+# ------------------------------------------------------ migration journey
+
+@pytest.mark.slow
+def test_import_then_finetune_eval_export_journey(tmp_path):
+    """The full reference-user migration: import a trained torch model,
+    continue training on TPU via --restart (the reference's resume flow,
+    cluster_sobel_twohead.py:199-221, with the import standing in for the
+    previous run), re-evaluate it with the analysis CLI, and export the
+    serving predictor — every run-dir consumer accepts the imported dir."""
+    from iic_tpu import infer
+    from iic_tpu.cli import import_torch as cli_import
+    from iic_tpu.cli.analysis import eval as analysis_eval
+    from iic_tpu.train import train_cluster_twohead
+    from iic_tpu.train import checkpoint as ckpt
+    from iic_tpu.train.cluster_trainer import build_net_and_state
+    from iic_tpu.train.config import config_from_dict
+
+    rng = np.random.default_rng(12)
+    x = _nchw(rng, 4, 1, 24, 24)
+    twin = tw.TorchNet6cTwoHead(1, 24, 20, 10, 2, track=True)
+    _evolve_bn_stats(twin, x)
+    ref_dir = tmp_path / "ref" / "1"
+    ref_dir.mkdir(parents=True)
+    ref_cfg = {  # a complete trainable config, reference field names
+        "arch": "ClusterNet6cTwoHead", "mode": "IID",
+        "dataset": "Synthetic10x28x1x128", "dataset_root": "",
+        "gt_k": 10, "output_k_A": 20, "output_k_B": 10,
+        "lr": 1e-3, "num_epochs": 2, "batch_sz": 32,
+        "num_dataloaders": 2, "num_sub_heads": 2,
+        "crop_orig": True, "crop_other": True,
+        "tf1_crop": "centre_half", "tf1_crop_sz": 20,
+        "tf2_crop": "random", "tf2_crop_szs": [16, 20, 24],
+        "input_sz": 24, "rot_val": 25.0, "no_flip": True,
+        "batchnorm_track": True, "test_code": True, "save_freq": 1}
+    with open(ref_dir / "config.pickle", "wb") as f:
+        pickle.dump(ref_cfg, f)
+    _save_sd(ref_dir, _ref_cluster_root(twin, twohead=True),
+             "latest_net.pytorch")
+
+    out_root = tmp_path / "out"
+    cli_import.main(["--ref_dir", str(ref_dir), "--out_root", str(out_root),
+                     "--model_ind", "1", "--greyscale"])
+
+    # the imported run dir IS a normal run: rebuild the config from it
+    with open(out_root / "1" / "config.pickle", "rb") as f:
+        meta = pickle.load(f)
+    config = config_from_dict(meta["config"])
+    _, _, template = build_net_and_state(config)
+    imported, _, last = ckpt.load_checkpoint(config, template, name="latest")
+    assert last == 0
+
+    # fine-tuning continues under --restart (test_code: 2 batches, 1 epoch)
+    config.restart = True
+    train_cluster_twohead(config)
+    _, history, last = ckpt.load_checkpoint(config, template, name="latest")
+    assert last == 1
+    assert len(history["eval"].epoch_acc) == 1  # restart path: no pre-eval
+    state2, _, _ = ckpt.load_checkpoint(config, template, name="latest")
+    diffs = [np.abs(np.asarray(a) - np.asarray(b)).max()
+             for a, b in zip(jax.tree_util.tree_leaves(imported.params),
+                             jax.tree_util.tree_leaves(state2.params))]
+    # moved (training happened) but only by a couple of Adam steps
+    # (started FROM the imported weights, not a re-init)
+    assert max(diffs) > 0
+    assert max(diffs) < 0.05, max(diffs)
+
+    # analysis CLI re-evaluates the run dir
+    stats = analysis_eval.main(["--model_ind", "1",
+                                "--out_root", str(out_root)])
+    assert 0.0 <= stats["best"] <= 1.0
+
+    # serving: fused predictor + StableHLO export round-trip
+    config_i, net_i, variables, stats_i = infer.load_run(str(out_root), 1)
+    predict = infer.make_cluster_predictor(config_i, net_i, variables,
+                                           stats_i)
+    imgs = rng.integers(0, 255, (3, 28, 28, 1), dtype=np.uint8)
+    ids = np.asarray(jax.jit(predict)(jnp.asarray(imgs)))
+    assert ids.shape == (3,) and ((ids >= 0) & (ids < 10)).all()
+    path = os.path.join(str(tmp_path), "imported.stablehlo")
+    infer.export_predictor(predict, imgs, path=path)
+    served = infer.load_exported(path)
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(imgs))), ids)

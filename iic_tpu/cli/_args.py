@@ -17,8 +17,14 @@ def _add_dataclass_args(parser, cls, skip=()):
             parser.add_argument(name, action="store_true",
                                 default=f.default)
         elif isinstance(f.default, tuple):
-            elem = int if all(isinstance(x, int) for x in f.default) \
-                or not f.default else float
+            if f.default:
+                elem = int if all(isinstance(x, int) for x in f.default) \
+                    else float
+            else:
+                # empty default: element type from the annotation
+                # (data_mean/data_std are float tuples, reference
+                # cluster_sobel_twohead.py:77-80)
+                elem = float if "float" in str(f.type) else int
             parser.add_argument(name, type=elem, nargs="+",
                                 default=list(f.default))
         elif f.default is None:

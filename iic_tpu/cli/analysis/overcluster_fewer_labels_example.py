@@ -1,9 +1,16 @@
 """Analysis: mapping robustness with a truncated fraction of labels —
 re-evaluate a trained run using only pc of the mapping-assignment set.
 Mirror of code/scripts/cluster/analysis/overcluster_fewer_labels{,_
-greyscale}_example.py (TruncatedDataset semantics)."""
+greyscale}_example.py (TruncatedDataset semantics): results are appended
+to the run's stored config as ``assign_set_szs_pc_acc[str(pc)] =
+(num_imgs, acc)`` (reference :113-126) unless --dont_save; --rewrite
+resets the stored dict first; --use_eval evaluates with BN in eval mode
+(the reference default here is TRAIN mode, :103-105 — the opposite of
+the main eval loop's default)."""
 
 import argparse
+import os
+import pickle
 
 
 def main(argv=None):
@@ -15,13 +22,22 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_ind", type=int, required=True)
     parser.add_argument("--out_root", type=str, default="out")
-    parser.add_argument("--pcs", type=float, nargs="+",
+    parser.add_argument("--new_assign_set_szs_pc", "--pcs", dest="pcs",
+                        type=float, nargs="+",
                         default=[1.0, 0.5, 0.1, 0.01])
+    parser.add_argument("--use_eval", default=False, action="store_true",
+                        help="BN eval mode (reference default is train "
+                        "mode for this script, :103-105)")
+    parser.add_argument("--dont_save", default=False, action="store_true")
+    parser.add_argument("--rewrite", default=False, action="store_true")
     args = parser.parse_args(argv)
+    if args.rewrite:
+        assert not args.dont_save  # reference :33-34
 
     config, net, state, history = load_run(args.out_root, args.model_ind)
     head = "B" if config.twohead else None
-    apply_fn = make_eval_apply(net, state, config, head=head)
+    apply_fn = make_eval_apply(net, state, config, head=head,
+                               train_mode=not args.use_eval)
 
     # partition tables are factory-derived, not persisted: rebuild them
     if config.twohead:
@@ -40,11 +56,27 @@ def main(argv=None):
     for pc in args.pcs:
         map_assign = MappingLoader(
             config, config.mapping_assignment_partitions, truncate_pc=pc)
+        num_imgs = len(map_assign.images)
         stats = cluster_subheads_eval(config, apply_fn, map_assign,
                                       map_test)
-        results[pc] = stats["best"]
-        print(f"pc {pc}: best acc {stats['best']:.6f} "
+        results[str(pc)] = (num_imgs, stats["best"])
+        print(f"pc {pc} ({num_imgs} imgs): best acc {stats['best']:.6f} "
               f"avg {stats['avg']:.6f}")
+
+    if not args.dont_save:
+        # append to the run's config-as-db, like the reference :113-126
+        p = os.path.join(args.out_root, str(args.model_ind),
+                         "config.pickle")
+        with open(p, "rb") as f:
+            meta = pickle.load(f)
+        stored = ({} if args.rewrite else
+                  dict(meta["config"].get("assign_set_szs_pc_acc", {})))
+        stored.update(results)
+        meta["config"]["assign_set_szs_pc_acc"] = stored
+        with open(p, "wb") as f:
+            pickle.dump(meta, f)
+        print(f"stored assign_set_szs_pc_acc ({len(stored)} entries) "
+              f"into {p}")
     return results
 
 

@@ -17,7 +17,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_ind", type=int, required=True)
     parser.add_argument("--out_root", type=str, default="out")
-    parser.add_argument("--num_examples", type=int, default=20)
+    # --num_imgs is the reference's name (print_examples.py); kept as the
+    # primary with --num_examples as the pre-existing alias
+    parser.add_argument("--num_imgs", "--num_examples",
+                        dest="num_examples", type=int, default=20)
     args = parser.parse_args(argv)
 
     config, net, state, history = load_run(args.out_root, args.model_ind)

@@ -592,6 +592,28 @@ def segmentation_create_dataloaders(config, seed=0, drop_last=False):
     """Partition tables + loaders (reference code/utils/segmentation/
     data.py:12-56). Returns (train_pipeline, mapping_assignment_loader,
     mapping_test_loader)."""
+    # flag accepted for CLI parity but refused exactly like the reference
+    # dataset does (cocostuff.py:63-64 asserts mask_input is never set)
+    assert not getattr(config, "mask_input", False), \
+        "mask_input is unsupported (the reference asserts it off too)"
+    train, map_a, map_t = seg_partitions(config)
+
+    config.train_partitions = train
+    config.mapping_assignment_partitions = map_a
+    config.mapping_test_partitions = map_t
+    return (SegTrainPipeline(config, train, seed=seed,
+                             drop_last=drop_last,
+                             resident=getattr(config, "resident_data",
+                                              False)),
+            SegMappingLoader(config, map_a),
+            SegMappingLoader(config, map_t))
+
+
+def seg_partitions(config):
+    """Per-mode partition tables (reference code/utils/segmentation/
+    general.py + data.py:12-56), derivable from (mode, dataset) alone —
+    analysis tools reloading a stored config rebuild them with this.
+    Returns (train, mapping_assignment, mapping_test) partition lists."""
     ds = config.dataset
     if config.mode == "IID+":
         if "Coco10k" in ds:
@@ -620,13 +642,4 @@ def segmentation_create_dataloaders(config, seed=0, drop_last=False):
             raise NotImplementedError(ds)
     else:
         raise ValueError(config.mode)
-
-    config.train_partitions = train
-    config.mapping_assignment_partitions = map_a
-    config.mapping_test_partitions = map_t
-    return (SegTrainPipeline(config, train, seed=seed,
-                             drop_last=drop_last,
-                             resident=getattr(config, "resident_data",
-                                              False)),
-            SegMappingLoader(config, map_a),
-            SegMappingLoader(config, map_t))
+    return train, map_a, map_t

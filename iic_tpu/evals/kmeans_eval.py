@@ -18,7 +18,8 @@ GET_NMI_ARI = False
 
 
 def train_kmeans_on_features(features_fn, dataloader, gt_k,
-                             max_num_samples=50_000, seed=0):
+                             max_num_samples=50_000, seed=0,
+                             verbose=False):
     """Fit MiniBatchKMeans on masked per-pixel features.
 
     ``features_fn(imgs) -> (bn, d, h, w)`` feature maps; dataloader yields
@@ -29,7 +30,9 @@ def train_kmeans_on_features(features_fn, dataloader, gt_k,
     chunks = []
     n_batches = max(len(dataloader), 1)
     per_batch = max(max_num_samples // n_batches, 1)
-    for imgs, _, mask in dataloader:
+    for b_i, (imgs, _, mask) in enumerate(dataloader):
+        if verbose:
+            print(f"kmeans eval: sampling features, batch {b_i}")
         feats = np.asarray(features_fn(imgs))  # (bn, d, h, w)
         bn, d = feats.shape[:2]
         flat = feats.transpose(0, 2, 3, 1).reshape(-1, d)
@@ -50,10 +53,12 @@ def train_kmeans_on_features(features_fn, dataloader, gt_k,
     return kmeans
 
 
-def apply_trained_kmeans(features_fn, dataloader, kmeans):
+def apply_trained_kmeans(features_fn, dataloader, kmeans, verbose=False):
     """Predict cluster ids per masked pixel; returns (preds, targets)."""
     preds_l, targets_l = [], []
-    for imgs, labels, mask in dataloader:
+    for b_i, (imgs, labels, mask) in enumerate(dataloader):
+        if verbose:
+            print(f"kmeans eval: predicting, batch {b_i}")
         feats = np.asarray(features_fn(imgs))
         bn, d = feats.shape[:2]
         flat = feats.transpose(0, 2, 3, 1).reshape(-1, d)
@@ -64,11 +69,15 @@ def apply_trained_kmeans(features_fn, dataloader, kmeans):
 
 
 def kmeans_segmentation_eval(features_fn, dataloader, gt_k,
-                             max_num_samples=50_000, seed=0):
-    """Full pipeline; returns stats dict with acc (+nmi/ari if enabled)."""
+                             max_num_samples=50_000, seed=0,
+                             verbose=False):
+    """Full pipeline; returns stats dict with acc (+nmi/ari if enabled).
+    ``verbose``: per-batch progress prints (reference doersch.py:285
+    passes config.verbose through its k-means eval)."""
     kmeans = train_kmeans_on_features(features_fn, dataloader, gt_k,
-                                      max_num_samples, seed)
-    preds, targets = apply_trained_kmeans(features_fn, dataloader, kmeans)
+                                      max_num_samples, seed, verbose=verbose)
+    preds, targets = apply_trained_kmeans(features_fn, dataloader, kmeans,
+                                          verbose=verbose)
     match = hungarian_match(preds, targets, preds_k=gt_k, targets_k=gt_k)
     reordered = reorder_preds(preds, match)
     stats = {"acc": accuracy(reordered, targets, gt_k), "match": match}

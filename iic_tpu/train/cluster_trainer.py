@@ -35,6 +35,13 @@ def _log(msg):
     sys.stdout.flush()
 
 
+def head_order(config):
+    """Cluster scripts train head B FIRST by default, --head_A_first flips
+    (cluster_sobel_twohead.py:265; opposite default to the seg scripts,
+    see seg_trainer.head_order)."""
+    return ["A", "B"] if config.head_A_first else ["B", "A"]
+
+
 def make_optimizer(config):
     assert config.opt == "Adam"  # reference supports Adam only
     return optax.inject_hyperparams(optax.adam)(learning_rate=config.lr)
@@ -295,7 +302,7 @@ def train_cluster_twohead(config):
         for h in ("A", "B")
     }
 
-    heads = ["A", "B"] if config.head_A_first else ["B", "A"]
+    heads = head_order(config)
     head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
 
     # --epoch_scan: fuse each head's whole epoch into one lax.scan program

@@ -157,10 +157,15 @@ class SegConfig:
     test_code: bool = False
     save_freq: int = 10
     batchnorm_track: bool = False
-    head_A_first: bool = False
+    # the seg scripts default to head A FIRST, opposite of the cluster
+    # scripts' head_A_first flag (segmentation_twohead.py:82,179-181)
+    head_B_first: bool = False
     head_A_epochs: int = 1
     head_B_epochs: int = 1
     select_sub_head_on_loss: bool = False
+    # accepted for flag parity but refused like the reference dataset
+    # does (cocostuff.py:63-64 asserts it is never set)
+    mask_input: bool = False
     # data
     no_sobel: bool = False
     include_rgb: bool = False
@@ -191,6 +196,17 @@ class SegConfig:
     isola_patch_side: int = 11
     max_num_kmeans_samples: int = -1
     per_sample_patches: bool = False
+    # Doersch colour-dropping (datasets/segmentation/baselines/
+    # doersch.py:25-73): set True by the doersch CLI (doersch.py:98),
+    # False by the main seg scripts (segmentation_twohead.py:134)
+    use_doersch_datasets: bool = False
+    # cache dir for the dataset RGB mean/stddev pickle the noise draws
+    # from (doersch.py:37, stats file auto-created); "" = compute fresh
+    doersch_stats: str = ""
+    # extra numbered checkpoints every 3 epochs (doersch.py:362)
+    save_multiple: bool = False
+    # per-stage k-means eval progress logs (doersch.py:285)
+    verbose: bool = False
     # loss geometry
     half_T_side_dense: int = 0
     half_T_side_sparse_min: int = 0

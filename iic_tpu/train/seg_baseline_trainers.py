@@ -50,6 +50,80 @@ def _pol2cart(r, phi):
     return r * np.sin(phi), r * np.cos(phi)
 
 
+def compute_doersch_rgb_stats(config, pipe, max_imgs=2000):
+    """Masked RGB pixel mean/stddev over the raw train images — the stats
+    the Doersch colour-dropping noise draws from (reference
+    datasets/segmentation/baselines/doersch.py:78-117, which accumulates
+    the prepared train tuples once and caches a pickle under
+    ``config.doersch_stats``). Deviation: computed on the raw [0, 1]
+    frames rather than one epoch of augmented draws — same distribution
+    up to the (mild) colour jitter, and deterministic. Datasets larger
+    than ``max_imgs`` are seeded-subsampled (the stats are a mean/std).
+    Returns (mean (3,), stddev (3,)) float32."""
+    import os
+    import pickle
+
+    cache = None
+    stats_dir = getattr(config, "doersch_stats", "")
+    if stats_dir:
+        os.makedirs(stats_dir, exist_ok=True)
+        cache = os.path.join(stats_dir, f"{config.dataset}_stats.pickle")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                stats = pickle.load(f)
+            return (np.asarray(stats["mean"], np.float32),
+                    np.asarray(stats["stddev"], np.float32))
+
+    _log("computing Doersch rgb stats over the train set")
+    tot = np.zeros(3, np.float64)
+    tot_sq = np.zeros(3, np.float64)
+    count = 0
+    for d in pipe.datasets:
+        n = len(d)
+        idxs = range(n)
+        if n > max_imgs:
+            idxs = np.random.default_rng(config.seed).choice(
+                n, max_imgs, replace=False)
+        for i in idxs:
+            img, label = d._load_raw(i)
+            if label is not None:
+                _, mask = d._filter_label(np.asarray(label))
+            else:
+                mask = np.ones(np.asarray(img).shape[:2], bool)
+            rgb = np.asarray(img, np.float32)[..., :3] / 255.0
+            sel = rgb[mask]  # (n_relevant, 3)
+            tot += sel.sum(axis=0)
+            tot_sq += (sel.astype(np.float64) ** 2).sum(axis=0)
+            count += sel.shape[0]
+    assert count > 0, "no relevant pixels for Doersch stats"
+    mean = tot / count
+    stddev = np.sqrt(np.maximum(tot_sq / count - mean ** 2, 0.0))
+    _log(f"Doersch rgb stats: mean {mean} stddev {stddev}")
+    if cache:
+        with open(cache, "wb") as f:
+            pickle.dump({"mean": mean, "stddev": stddev}, f)
+    return mean.astype(np.float32), stddev.astype(np.float32)
+
+
+def doersch_channel_noise(key, img, mean3, std3):
+    """Doersch colour-dropping (reference datasets/segmentation/baselines/
+    doersch.py:55-73): per image, keep ONE random rgb channel and replace
+    the other two with Gaussian noise of the KEPT channel's mean and
+    stddev/100 — defeats the chromatic-aberration shortcut. Applied to
+    the first 3 channels only; the grey/sobel channels are computed from
+    the un-noised image, like the reference (the dataset prepares
+    [rgb, grey] before its Doersch wrapper noises the rgb)."""
+    b = img.shape[0]
+    k1, k2 = jax.random.split(key)
+    keep = jax.random.randint(k1, (b,), 0, 3)
+    noise = (jax.random.normal(k2, (b, 3) + img.shape[2:], img.dtype)
+             * (std3[keep] / 100.0)[:, None, None, None]
+             + mean3[keep][:, None, None, None])
+    replaced = jnp.arange(3)[None, :] != keep[:, None]  # (b, 3)
+    rgb = jnp.where(replaced[:, :, None, None], noise, img[:, :3])
+    return jnp.concatenate([rgb, img[:, 3:]], axis=1)
+
+
 def doersch_set_patches(rng, input_sz, patch_side):
     """One shared (centre (2,), other (2,), position_gt) per batch —
     reference doersch_utils.py:7-44 math verbatim: position_gt in 0..8
@@ -165,6 +239,13 @@ def train_seg_baseline(config, kind):
     include_rgb = config.include_rgb
     using_ir = config.using_IR
     augment = pipe.augment
+    # Doersch colour-dropping: rgb channels replaced with stat-matched
+    # noise during training (data.py:104, gated exactly like the
+    # reference: use_doersch_datasets AND include_rgb, train only)
+    noise_stats = None
+    if getattr(config, "use_doersch_datasets", False) and include_rgb:
+        mean3, std3 = compute_doersch_rgb_stats(config, pipe)
+        noise_stats = (jnp.asarray(mean3), jnp.asarray(std3))
     per_sample = getattr(config, "per_sample_patches", False)
     sample_fn = (sample_doersch_pairs if kind == "doersch"
                  else sample_isola_pairs)
@@ -175,8 +256,10 @@ def train_seg_baseline(config, kind):
     @jax.jit
     def train_step(state, imgs_u8, masks_u8, key, centre_in, other_in,
                    labels_in):
-        k_aug, k_pairs, k_drop = jax.random.split(key, 3)
+        k_aug, k_pairs, k_drop, k_noise = jax.random.split(key, 4)
         img1, _, _, mask = augment(imgs_u8, masks_u8, k_aug)
+        if noise_stats is not None:
+            img1 = doersch_channel_noise(k_noise, img1, *noise_stats)
         if sobel:
             img1 = sobel_process(img1, include_rgb, using_IR=using_ir)
         if per_sample:
@@ -231,6 +314,8 @@ def train_seg_baseline(config, kind):
     # features sampled for the k-means eval; <= 0 keeps our default.
     cap = getattr(config, "max_num_kmeans_samples", -1)
     kmeans_kwargs = {"max_num_samples": cap} if cap > 0 else {}
+    if getattr(config, "verbose", False):  # reference doersch.py:285
+        kmeans_kwargs["verbose"] = True
 
     history = {"epoch_acc": [], "epoch_loss": []}
     next_epoch = 1
@@ -294,6 +379,10 @@ def train_seg_baseline(config, kind):
         if is_best:
             ckpt.save_checkpoint(config, state, history, "best",
                                  last_epoch=last_saved)
+        if getattr(config, "save_multiple", False) and e_i % 3 == 0:
+            # extra numbered snapshots (reference doersch.py:362-364)
+            ckpt.save_checkpoint(config, state, history, f"e_{e_i}",
+                                 last_epoch=e_i)
         # config.pickle/txt every epoch (reference :449-455); last_epoch
         # stays pinned to the epoch of the on-disk latest weights
         ckpt.save_meta(config, history, last_saved)

@@ -34,6 +34,13 @@ def _log(msg):
     sys.stdout.flush()
 
 
+def head_order(config):
+    """The seg scripts train head A FIRST by default, with --head_B_first
+    flipping — the OPPOSITE default of the cluster scripts
+    (segmentation_twohead.py:179-181 vs cluster_sobel_twohead.py:265)."""
+    return ["B", "A"] if config.head_B_first else ["A", "B"]
+
+
 def build_seg_net_and_state(config):
     net = models.build(config.arch, config)
     dummy = jnp.zeros((2, config.in_channels, config.input_sz,
@@ -107,7 +114,7 @@ def train_segmentation_twohead(config):
         for h in ("A", "B")
     }
 
-    heads = ["A", "B"] if config.head_A_first else ["B", "A"]
+    heads = head_order(config)
     head_epochs = {"A": config.head_A_epochs, "B": config.head_B_epochs}
 
     # --epoch_scan: fuse each head's whole epoch into one lax.scan program

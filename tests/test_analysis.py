@@ -63,14 +63,40 @@ def test_analysis_update_config(stored_run):
 
 
 def test_truncated_mapping_loader(stored_run):
+    """Reference semantics (overcluster_fewer_labels_example.py:113-126):
+    results keyed str(pc) -> (num_imgs, acc), appended to the stored
+    config as assign_set_szs_pc_acc; --rewrite resets; --use_eval flips
+    the BN mode; --dont_save leaves the run dir untouched."""
+    import pickle
+
     from iic_tpu.cli.analysis.overcluster_fewer_labels_example import main
 
     out_root, model_ind = stored_run
     results = main(["--model_ind", str(model_ind), "--out_root", out_root,
-                    "--pcs", "1.0", "0.5"])
-    assert set(results) == {1.0, 0.5}
-    for v in results.values():
-        assert 0.0 <= v <= 1.0
+                    "--new_assign_set_szs_pc", "1.0", "0.5"])
+    assert set(results) == {"1.0", "0.5"}
+    n_full = results["1.0"][0]
+    assert results["0.5"][0] == n_full // 2
+    for n, acc in results.values():
+        assert 0.0 <= acc <= 1.0
+    # persisted onto the run's config-as-db
+    p = os.path.join(out_root, str(model_ind), "config.pickle")
+    with open(p, "rb") as f:
+        meta = pickle.load(f)
+    assert set(meta["config"]["assign_set_szs_pc_acc"]) == {"1.0", "0.5"}
+
+    # --rewrite resets the dict; --use_eval path runs; --dont_save with a
+    # different pc leaves the stored dict untouched
+    main(["--model_ind", str(model_ind), "--out_root", out_root,
+          "--new_assign_set_szs_pc", "0.25", "--rewrite", "--use_eval"])
+    with open(p, "rb") as f:
+        meta = pickle.load(f)
+    assert set(meta["config"]["assign_set_szs_pc_acc"]) == {"0.25"}
+    main(["--model_ind", str(model_ind), "--out_root", out_root,
+          "--new_assign_set_szs_pc", "0.75", "--dont_save"])
+    with open(p, "rb") as f:
+        meta = pickle.load(f)
+    assert set(meta["config"]["assign_set_szs_pc_acc"]) == {"0.25"}
 
 
 def test_print_nets(capsys):
@@ -147,3 +173,73 @@ def test_kmeans_segmentation_eval():
     stats = kmeans_segmentation_eval(lambda im: im, loader, gt_k=3,
                                      max_num_samples=200)
     assert stats["acc"] > 0.9
+
+
+@pytest.fixture(scope="module")
+def stored_seg_run(tmp_path_factory):
+    """One tiny trained seg twohead run for the seg analysis tools."""
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_trainer import train_segmentation_twohead
+
+    tmp = tmp_path_factory.mktemp("seg_runs")
+    cfg = SegConfig(
+        model_ind=41, arch="SegmentationNet10aTwoHead", mode="IID",
+        dataset="SyntheticSeg3x48x16", dataset_root="", gt_k=3,
+        output_k_A=6, output_k_B=3, num_sub_heads=2, lr=1e-3,
+        num_epochs=2, batch_sz=4, num_dataloaders=1, out_root=str(tmp),
+        input_sz=40, half_T_side_dense=1, half_T_side_sparse_min=0,
+        half_T_side_sparse_max=0, include_rgb=True, batchnorm_track=True,
+        test_code=True, save_freq=1)
+    cfg.finalize(twohead=True)
+    train_segmentation_twohead(cfg)
+    return str(tmp), 41
+
+
+def test_render_general_reference_surface(stored_seg_run, capsys):
+    """--model_inds / --net_name / --num / --imgs_dataloaders /
+    --get_match_only / --reassess_acc (reference render_general.py:23-33),
+    with preds rendered from the BEST sub-head reordered by its match."""
+    from iic_tpu.cli.analysis.render_general import main
+
+    out_root, model_ind = stored_seg_run
+    # match-only mode renders nothing
+    main(["--model_inds", str(model_ind), "--out_root", out_root,
+          "--get_match_only"])
+    out = capsys.readouterr().out
+    assert "best sub-head" in out and "match" in out
+    assert not os.path.exists(
+        os.path.join(out_root, str(model_ind), "renders"))
+
+    # reassess mode prints the acc, renders nothing
+    stats = main(["--model_ind", str(model_ind), "--out_root", out_root,
+                  "--reassess_acc"])
+    assert 0.0 <= stats[model_ind]["best"] <= 1.0
+    assert "reassessed acc" in capsys.readouterr().out
+
+    # full render: both dataloaders, explicit net_name + reference --num
+    main(["--model_inds", str(model_ind), "--out_root", out_root,
+          "--net_name", "latest", "--num", "2",
+          "--imgs_dataloaders", "test", "train"])
+    for dl in ("test", "train"):
+        d = os.path.join(out_root, str(model_ind), "renders", dl,
+                         "latest")
+        assert os.path.exists(os.path.join(d, "preds_0.png")), d
+        assert os.path.exists(os.path.join(d, "img_1.png")), d
+
+
+def test_clone_and_eval_clones_old_run(stored_seg_run):
+    """--old_model_ind clones config + checkpoints into a NEW run dir and
+    re-evaluates the clone (reference clone_and_eval.py:23-55)."""
+    import pickle
+
+    from iic_tpu.cli.analysis.clone_and_eval import main
+
+    out_root, model_ind = stored_seg_run
+    stats = main(["--model_ind", "42", "--old_model_ind", str(model_ind),
+                  "--out_root", out_root])
+    assert 0.0 <= stats["best"] <= 1.0
+    new_dir = os.path.join(out_root, "42")
+    assert os.path.exists(os.path.join(new_dir, "latest.ckpt"))
+    with open(os.path.join(new_dir, "config.pickle"), "rb") as f:
+        meta = pickle.load(f)
+    assert meta["config"]["model_ind"] == 42

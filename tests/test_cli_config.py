@@ -129,3 +129,34 @@ def test_seg_random_affine_flags_parse():
     assert (d.aff_min_rot, d.aff_max_rot) == (-30.0, 30.0)
     assert (d.aff_min_scale, d.aff_max_scale) == (0.8, 1.2)
     assert not d.use_random_affine
+
+
+def test_seg_head_order_default_is_A_first():
+    """The seg scripts default to head A first with --head_B_first
+    flipping (segmentation_twohead.py:82,179-181) — the OPPOSITE of the
+    cluster scripts' B-first default with --head_A_first
+    (cluster_sobel_twohead.py:265)."""
+    from iic_tpu.train.cluster_trainer import head_order as cluster_order
+    from iic_tpu.train.config import ClusterConfig, SegConfig
+    from iic_tpu.train.seg_trainer import head_order as seg_order
+
+    assert seg_order(SegConfig()) == ["A", "B"]
+    assert seg_order(SegConfig(head_B_first=True)) == ["B", "A"]
+    assert cluster_order(ClusterConfig()) == ["B", "A"]
+    assert cluster_order(ClusterConfig(head_A_first=True)) == ["A", "B"]
+    cfg = parse_seg_args("--head_B_first".split())
+    assert cfg.head_B_first
+
+
+def test_seg_mask_input_parses_but_is_refused():
+    """--mask_input exists on the flag surface (segmentation_twohead.py:68)
+    but the reference's own dataset asserts it off (cocostuff.py:63-64);
+    the pipeline refuses it the same way."""
+    import pytest as _pytest
+    from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
+
+    cfg = parse_seg_args("--mask_input --dataset SyntheticSeg3x48x16".split())
+    assert cfg.mask_input
+    cfg.finalize(twohead=True)
+    with _pytest.raises(AssertionError, match="mask_input"):
+        segmentation_create_dataloaders(cfg)

@@ -96,3 +96,88 @@ def test_isola_loss_masked():
     want_n = -(np.log(p_t[0]) + np.log(p_t[1]) + np.log(p_t[3])) / 3.0
     got_n = float(isola_loss(logits, jnp.asarray(0, jnp.int32), mask))
     np.testing.assert_allclose(got_n, want_n, rtol=1e-5)
+
+
+def test_doersch_channel_noise_semantics():
+    """Colour-dropping (datasets/segmentation/baselines/doersch.py:55-73):
+    per image exactly ONE rgb channel survives; the two replaced channels
+    are noise with the kept channel's mean and stddev/100; non-rgb
+    channels (grey) pass through untouched."""
+    import jax
+    from iic_tpu.train.seg_baseline_trainers import doersch_channel_noise
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (64, 4, 8, 8)).astype(np.float32)
+    mean3 = jnp.asarray([0.2, 0.5, 0.8], jnp.float32)
+    std3 = jnp.asarray([10.0, 20.0, 30.0], jnp.float32)  # /100 inside
+    out = np.asarray(doersch_channel_noise(
+        jax.random.PRNGKey(0), jnp.asarray(img), mean3, std3))
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(out[:, 3], img[:, 3])  # grey untouched
+    kept_counts = []
+    for i in range(img.shape[0]):
+        kept = [c for c in range(3)
+                if np.array_equal(out[i, c], img[i, c])]
+        assert len(kept) == 1, kept
+        k = kept[0]
+        kept_counts.append(k)
+        for c in range(3):
+            if c == k:
+                continue
+            # noise with the KEPT channel's stats: mean3[k] +- std3[k]/100
+            m = out[i, c].mean()
+            assert abs(m - float(mean3[k])) < 0.2, (i, c, m)
+            s = out[i, c].std()
+            assert s < 3 * float(std3[k]) / 100 + 0.05, (i, c, s)
+    # all three keep-channels occur over 64 images
+    assert set(kept_counts) == {0, 1, 2}
+
+
+def test_compute_doersch_rgb_stats_and_cache(tmp_path):
+    """Stats = masked RGB pixel mean/std over the raw train frames; a
+    second call hits the doersch_stats pickle cache (reference
+    doersch.py:33-37 auto-creates <dataset>_stats.pickle)."""
+    import os
+    from iic_tpu.data.seg_pipeline import segmentation_create_dataloaders
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_baseline_trainers import (
+        compute_doersch_rgb_stats)
+
+    cfg = SegConfig(
+        model_ind=53, arch="SegmentationNet10aDoersch", mode="IID",
+        dataset="SyntheticSeg3x64x12", dataset_root="", gt_k=3,
+        output_k_A=3, output_k_B=3, num_sub_heads=1, batch_sz=4,
+        num_dataloaders=1, out_root=str(tmp_path), input_sz=56,
+        include_rgb=True, doersch_stats=str(tmp_path / "stats"))
+    cfg.finalize(twohead=False)
+    pipe, _, _ = segmentation_create_dataloaders(cfg)
+    mean, std = compute_doersch_rgb_stats(cfg, pipe)
+    assert mean.shape == (3,) and std.shape == (3,)
+    assert (mean > 0).all() and (mean < 1).all()
+
+    # direct recomputation over the same raw frames
+    tot, tot_sq, count = np.zeros(3), np.zeros(3), 0
+    for d in pipe.datasets:
+        for i in range(len(d)):
+            img, label = d._load_raw(i)
+            _, mask = d._filter_label(np.asarray(label))
+            rgb = np.asarray(img, np.float32)[..., :3] / 255.0
+            sel = rgb[mask]
+            tot += sel.sum(0)
+            tot_sq += (sel.astype(np.float64) ** 2).sum(0)
+            count += len(sel)
+    want_mean = tot / count
+    want_std = np.sqrt(tot_sq / count - want_mean ** 2)
+    np.testing.assert_allclose(mean, want_mean, rtol=1e-5)
+    np.testing.assert_allclose(std, want_std, rtol=1e-4, atol=1e-6)
+
+    # cache round trip: poison the pickle, the second call must read it
+    cache = os.path.join(str(tmp_path / "stats"),
+                         f"{cfg.dataset}_stats.pickle")
+    assert os.path.exists(cache)
+    import pickle as pkl
+    with open(cache, "wb") as f:
+        pkl.dump({"mean": np.zeros(3), "stddev": np.ones(3)}, f)
+    mean2, std2 = compute_doersch_rgb_stats(cfg, pipe)
+    np.testing.assert_array_equal(mean2, np.zeros(3, np.float32))
+    np.testing.assert_array_equal(std2, np.ones(3, np.float32))

@@ -79,7 +79,8 @@ def test_doersch_baseline_smoke(tmp_path):
         num_epochs=2, batch_sz=4, num_dataloaders=1,
         out_root=str(tmp_path), input_sz=56, half_T_side_dense=0,
         include_rgb=True, batchnorm_track=True, test_code=True,
-        save_freq=1)
+        save_freq=1, use_doersch_datasets=True)  # colour-dropping on,
+    # like the real doersch CLI (reference doersch.py:98 + data.py:104)
     cfg.finalize(twohead=False)
     cfg.doersch_patch_side = 5
     state, history = train_seg_baseline(cfg, kind="doersch")
@@ -106,3 +107,28 @@ def test_isola_baseline_smoke(tmp_path):
     state, history = train_seg_baseline(cfg, kind="isola")
     assert np.isfinite(history["epoch_loss"][0])
     assert len(history["epoch_acc"]) == 2
+
+
+@pytest.mark.slow
+def test_doersch_save_multiple_snapshots(tmp_path):
+    """--save_multiple keeps numbered snapshots every 3 epochs
+    (reference doersch.py:362-364) alongside latest/best."""
+    import os
+    from iic_tpu.train.config import SegConfig
+    from iic_tpu.train.seg_baseline_trainers import train_seg_baseline
+
+    cfg = SegConfig(
+        model_ind=54, arch="SegmentationNet10aDoersch", mode="IID",
+        dataset="SyntheticSeg3x64x12", dataset_root="", gt_k=3,
+        output_k_A=3, output_k_B=3, num_sub_heads=1, lr=1e-3,
+        num_epochs=5, batch_sz=4, num_dataloaders=1,
+        out_root=str(tmp_path), input_sz=56, half_T_side_dense=0,
+        include_rgb=True, batchnorm_track=True, save_freq=2,
+        save_multiple=True, verbose=True)
+    cfg.finalize(twohead=False)
+    cfg.doersch_patch_side = 5
+    train_seg_baseline(cfg, kind="doersch")
+    d = os.path.join(str(tmp_path), "54")
+    assert os.path.exists(os.path.join(d, "e_3.ckpt"))
+    assert not os.path.exists(os.path.join(d, "e_2.ckpt"))
+    assert os.path.exists(os.path.join(d, "latest.ckpt"))

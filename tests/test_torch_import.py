@@ -578,3 +578,40 @@ def test_import_then_finetune_eval_export_journey(tmp_path):
     infer.export_predictor(predict, imgs, path=path)
     served = infer.load_exported(path)
     np.testing.assert_array_equal(np.asarray(served(jnp.asarray(imgs))), ids)
+
+
+def test_cli_import_seg_format(tmp_path):
+    """Segmentation run dirs: combined {"net","optimiser"} save files
+    (best.pytorch / latest.pytorch, segmentation_twohead.py:412-421) and
+    the SegConfig.finalize path through the CLI."""
+    from iic_tpu.cli import import_torch as cli
+
+    rng = np.random.default_rng(13)
+    # sobel+rgb seg layout: [r, g, b, dx, dy] = 5 input channels
+    # (finalize derives in_channels=5 for include_rgb without --no_sobel)
+    x = _nchw(rng, 2, 5, 24, 24)
+    twin = tw.TorchNet10aTwoHead(5, 24, 6, 3, 1, track=True)
+    _evolve_bn_stats(twin, x)
+    ref_dir = tmp_path / "ref" / "555"
+    ref_dir.mkdir(parents=True)
+    ref_cfg = {"arch": "SegmentationNet10aTwoHead", "mode": "IID",
+               "dataset": "SyntheticSeg3x48x16", "gt_k": 3,
+               "output_k_A": 6, "output_k_B": 3, "num_sub_heads": 1,
+               "input_sz": 24, "batchnorm_track": True, "batch_sz": 8,
+               "num_dataloaders": 1, "include_rgb": True}
+    with open(ref_dir / "config.pickle", "wb") as f:
+        pickle.dump(ref_cfg, f)
+    _save_sd(ref_dir, _ref_seg_root(twin, twohead=True), "best.pytorch",
+             seg_combined=True)
+
+    out_root = tmp_path / "out"
+    cli.main(["--ref_dir", str(ref_dir), "--out_root", str(out_root),
+              "--model_ind", "555"])
+    assert (out_root / "555" / "best.ckpt").exists()
+
+    from iic_tpu.cli.analysis.render_general import load_seg_run
+    config, net, state, history = load_seg_run(str(out_root), 555)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for head in ("A", "B"):
+        _assert_close(_flax_forward(net, variables, x, False, head=head),
+                      _torch_forward(twin, x, False, head=head))

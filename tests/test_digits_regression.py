@@ -10,6 +10,7 @@ import os
 import pickle
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -29,12 +30,25 @@ def _tpu_env():
     return env
 
 
-def _tpu_reachable(env):
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; print(jax.default_backend())"],
-        env=env, capture_output=True, text=True, timeout=120)
-    return probe.returncode == 0 and "tpu" in probe.stdout
+def _tpu_reachable(env, tries=4, pause=45):
+    """Probe the chip from a clean subprocess. The axon tunnel serves one
+    client at a time and a client connecting while the previous session
+    tears down can block in init — so a timed-out probe is retried (the
+    stuck session clears once the killed probe dies), and only repeated
+    failure reports unreachable."""
+    for i in range(tries):
+        if i:
+            time.sleep(pause)
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                env=env, capture_output=True, text=True, timeout=120)
+        except subprocess.TimeoutExpired:
+            continue
+        if probe.returncode == 0 and "tpu" in probe.stdout:
+            return True
+    return False
 
 
 @pytest.mark.slow

@@ -243,3 +243,47 @@ def test_clone_and_eval_clones_old_run(stored_seg_run):
     with open(os.path.join(new_dir, "config.pickle"), "rb") as f:
         meta = pickle.load(f)
     assert meta["config"]["model_ind"] == 42
+
+
+def test_render_best_match_override(stored_seg_run):
+    """--best_match (reference render_potsdam.py:31,272-279): an explicit
+    pred->gt match skips the eval pass and reorders rendered preds."""
+    from iic_tpu.cli.analysis.render_general import main
+
+    out_root, model_ind = stored_seg_run
+    results = main(["--model_ind", str(model_ind), "--out_root", out_root,
+                    "--best_match", "2", "0", "1", "--num", "1",
+                    "--net_name", "latest", "--imgs_dataloaders", "test"])
+    stats = results[model_ind]
+    assert stats["best_train_sub_head_match"] == [(0, 2), (1, 0), (2, 1)]
+    d = os.path.join(out_root, str(model_ind), "renders", "test", "latest")
+    assert os.path.exists(os.path.join(d, "preds_0.png"))
+
+
+def test_count_classes_stored_run_mode(stored_seg_run, capsys):
+    """count_classes --model_inds (reference count_classes.py:13): counts
+    the label distribution of STORED runs' mapping sets."""
+    from iic_tpu.cli.analysis.count_classes import main
+
+    out_root, model_ind = stored_seg_run
+    counts = main(["--model_inds", str(model_ind),
+                   "--out_root", out_root])
+    out = capsys.readouterr().out
+    assert f"model {model_ind}" in out
+    assert counts.sum() > 0 and len(counts) == 3
+
+
+def test_colour_scheme_file_pattern_mode(stored_seg_run):
+    """colour_scheme_change --file_pattern/--file_indices/--out_subdir
+    (reference colour_scheme_change.py:10-13): printf selection into a
+    subdir of in_dir."""
+    from iic_tpu.cli.analysis.colour_scheme_change import main
+
+    out_root, model_ind = stored_seg_run
+    in_dir = os.path.join(out_root, str(model_ind), "renders", "test",
+                          "latest")  # written by the render tests above
+    assert os.path.exists(os.path.join(in_dir, "preds_0.png"))
+    main(["--in_dir", in_dir, "--file_pattern", "preds_%d.png",
+          "--file_indices", "0", "--num_classes", "3"])
+    assert os.path.exists(os.path.join(in_dir, "colour_change",
+                                       "preds_0.png"))
